@@ -1,0 +1,25 @@
+"""dcae_tpu — TPU-native learned image compression framework.
+
+A ground-up JAX/Flax/Pallas rebuild of DCAE ("Learned Image Compression with
+Dictionary-based Entropy Model", CVPR 2025) and its distributed-codec fork
+(reference: Pittmann-XIE/DCAE). The compute path is XLA-compiled NHWC
+JAX; the entropy-coding runtime is in-repo C++ (dcae_tpu/native); training
+scales over TPU meshes with jax.sharding instead of DDP/NCCL.
+
+Layer map (cf. SURVEY.md §1):
+  L0 entropy-coding runtime  -> dcae_tpu.entropy.rans (+ native/rans.cpp)
+  L1 NN block library        -> dcae_tpu.ops
+  L2 model layer             -> dcae_tpu.models
+  L3 bitstream container/CLI -> dcae_tpu.runtime.container, tools/
+  L4 training                -> dcae_tpu.train, tools/train.py
+  L5 evaluation              -> dcae_tpu.eval_lib, tools/eval.py
+  L6 distributed/serving     -> dcae_tpu.parallel, dcae_tpu.runtime.service
+  L7 data tooling            -> dcae_tpu.data
+  L8 diagnostics             -> dcae_tpu.utils
+"""
+
+from dcae_tpu.config import DCAEConfig
+
+__version__ = "0.1.0"
+
+__all__ = ["DCAEConfig", "__version__"]
