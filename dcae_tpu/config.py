@@ -43,6 +43,10 @@ class DCAEConfig:
     mlp_rate: int = 4
     qkv_bias: bool = True
 
+    # per-slice context-transform hidden widths (cc_mean/cc_scale/lrp nets,
+    # ref models/dcae.py:584-611)
+    cc_hidden: Tuple[int, int] = (224, 128)
+
     # entropy bottleneck (factorized prior over z)
     eb_channels: int = 192
     eb_filters: Tuple[int, ...] = (3, 3, 3, 3)
@@ -109,6 +113,7 @@ class DCAEConfig:
             dict_num=8,
             dict_head_num=2,
             dict_head_dim=8,
+            cc_hidden=(16, 12),
             eb_channels=16,
             eb_init_scale=10.0,
         )
