@@ -1,0 +1,209 @@
+"""Host codec driver: real bitstream compress()/decompress().
+
+Orchestration (cf. ref call stack SURVEY.md §3.2):
+  compress   — ONE device program computes y, z, all slice contexts, symbols
+               and coding indexes (the channel-AR recursion is replayed on
+               device, no host round-trips); the host rANS-encodes z and y
+               per image. Multi-image batches encode to one stream per image
+               (streams are independent and decodable in parallel).
+  decompress — alternates device context evaluation with host rANS decode,
+               5x per image batch (the slice recursion is inherently
+               sequential, ref models/dcae.py:859-910).
+
+Symbol serialization order inside a stream is channel-major (NCHW flatten)
+per slice, matching the reference's `.reshape(-1)` on NCHW tensors, and the
+`.bin` container layout is preserved by dcae_tpu.runtime.container.
+
+API parity (SURVEY.md §8): update() must precede real coding; compress
+returns {"strings": [y_strings, z_strings], "shape": (zh, zw)}.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcae_tpu.config import DCAEConfig
+from dcae_tpu.entropy import rans
+from dcae_tpu.entropy.gaussian import get_scale_table
+from dcae_tpu.entropy.tables import CodecTables, build_codec_tables
+from dcae_tpu.models.dcae import DCAE
+
+
+def _nchw_flat(x_nhwc: np.ndarray) -> np.ndarray:
+    """(H,W,C) -> channel-major flat int32 (reference symbol order)."""
+    return np.ascontiguousarray(x_nhwc.transpose(2, 0, 1)).reshape(-1)
+
+
+def _unflatten_chw(flat: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
+    return flat.reshape(c, h, w).transpose(1, 2, 0)
+
+
+class DCAECodec:
+    """Owns model params + baked tables + jitted device programs."""
+
+    def __init__(self, cfg: DCAEConfig, params=None,
+                 tables: Optional[CodecTables] = None,
+                 dtype=None, seed: int = 0):
+        self.cfg = cfg
+        self.model = DCAE(cfg, dtype=dtype)
+        if params is None:
+            dummy = jnp.zeros((1, cfg.pad_multiple, cfg.pad_multiple,
+                               cfg.in_channels), jnp.float32)
+            params = self.model.init(
+                {"params": jax.random.PRNGKey(seed)}, dummy)["params"]
+        self.params = params
+        self.tables = tables
+        self._scale_table = get_scale_table(cfg.scales_min, cfg.scales_max,
+                                            cfg.scales_levels)
+        self._build_jits()
+
+    # -------------------------------------------------------------- jits --
+
+    def _build_jits(self):
+        model = self.model
+
+        self._forward = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, training=False))
+
+        self._encode = jax.jit(
+            lambda p, x, st: model.apply(
+                {"params": p}, x, st, method=DCAE.encode_arrays))
+
+        self._hyper = jax.jit(
+            lambda p, z_hat: model.apply(
+                {"params": p}, z_hat, method=DCAE.decode_hyper))
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def _slice_ctx(i, p, ls, lm, y_hat_prev, st):
+            y_h, y_w = ls.shape[1], ls.shape[2]
+            return model.apply({"params": p}, i, ls, lm, y_hat_prev, st,
+                               y_h, y_w, method=DCAE.decode_slice_context)
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def _slice_apply(i, p, support, mu, symbols):
+            return model.apply({"params": p}, i, support, mu, symbols,
+                               method=DCAE.decode_slice_apply)
+
+        self._slice_ctx = _slice_ctx
+        self._slice_apply = _slice_apply
+        self._synthesis = jax.jit(
+            lambda p, y_hat: model.apply(
+                {"params": p}, y_hat, method=DCAE.decode_synthesis))
+        self._aux = jax.jit(
+            lambda p: model.apply({"params": p}, method=DCAE.aux_loss))
+
+    # ------------------------------------------------------------- public --
+
+    def forward(self, x) -> dict:
+        """Eval-mode forward pass (likelihood bpp, no bitstream)."""
+        return self._forward(self.params, jnp.asarray(x))
+
+    def aux_loss(self) -> float:
+        return float(self._aux(self.params))
+
+    def update(self, scale_table=None, force: bool = False) -> bool:
+        """Bake integer coding tables from the current parameters. Must be
+        called before compress/decompress (reference contract,
+        ref models/dcae.py:616-621)."""
+        if self.tables is not None and not force:
+            return False
+        if scale_table is None:
+            scale_table = self._scale_table
+        eb = jax.tree.map(np.asarray, dict(self.params["entropy_bottleneck"]))
+        self.tables = build_codec_tables(eb, scale_table,
+                                         tail_mass=self.cfg.gc_tail_mass)
+        self._scale_table = np.asarray(scale_table, np.float32)
+        return True
+
+    def _require_tables(self) -> CodecTables:
+        if self.tables is None:
+            raise RuntimeError("call update() before real coding")
+        return self.tables
+
+    def compress(self, x) -> dict:
+        """x: (B,H,W,3) float in [0,1], H and W multiples of cfg.pad_multiple.
+        Returns {"strings": [y_strings, z_strings], "shape": (zh, zw)}."""
+        t = self._require_tables()
+        x = jnp.asarray(x, jnp.float32)
+        out = jax.device_get(
+            self._encode(self.params, x, jnp.asarray(self._scale_table)))
+        z_sym = out["z_symbols"]          # (B, zh, zw, C)
+        y_sym = out["y_symbols"]          # (S, B, yh, yw, c)
+        y_idx = out["y_indexes"]
+
+        B, zh, zw, C = z_sym.shape
+        z_index_flat = np.repeat(np.arange(C, dtype=np.int32), zh * zw)
+
+        z_strings: List[bytes] = []
+        y_strings: List[bytes] = []
+        for b in range(B):
+            z_strings.append(rans.encode_with_indexes(
+                _nchw_flat(z_sym[b]), z_index_flat,
+                t.factorized.quantized_cdf, t.factorized.cdf_length,
+                t.factorized.offset))
+            syms = np.concatenate(
+                [_nchw_flat(y_sym[s, b]) for s in range(y_sym.shape[0])])
+            idxs = np.concatenate(
+                [_nchw_flat(y_idx[s, b]) for s in range(y_idx.shape[0])])
+            y_strings.append(rans.encode_with_indexes(
+                syms, idxs, t.gaussian.quantized_cdf, t.gaussian.cdf_length,
+                t.gaussian.offset))
+        return {"strings": [y_strings, z_strings], "shape": (zh, zw)}
+
+    def decompress(self, strings: Sequence[Sequence[bytes]],
+                   shape: Tuple[int, int]) -> dict:
+        """strings: [y_strings, z_strings]; shape: (zh, zw) of z.
+        Returns {"x_hat": (B,H,W,3) in [0,1]}."""
+        t = self._require_tables()
+        y_strings, z_strings = strings
+        B = len(z_strings)
+        zh, zw = int(shape[0]), int(shape[1])
+        C = self.cfg.eb_channels
+
+        z_index_flat = np.repeat(np.arange(C, dtype=np.int32), zh * zw)
+        z_hat = np.empty((B, zh, zw, C), np.float32)
+        for b in range(B):
+            sym = rans.decode_with_indexes(
+                z_strings[b], z_index_flat, t.factorized.quantized_cdf,
+                t.factorized.cdf_length, t.factorized.offset)
+            z_hat[b] = _unflatten_chw(sym.astype(np.float32), zh, zw, C)
+        # dequantize around the LIVE medians — the exact values the encoder's
+        # device graph used (tables' baked copy may lag a training step)
+        medians = np.asarray(
+            self.params["entropy_bottleneck"]["quantiles"])[:, 0, 1]
+        z_hat = z_hat + medians.reshape(1, 1, 1, C)
+
+        ls, lm = self._hyper(self.params, jnp.asarray(z_hat))
+        y_h, y_w = zh * 4, zw * 4
+        sd = self.cfg.slice_dim
+        st = jnp.asarray(self._scale_table)
+
+        decoders = []
+        for b in range(B):
+            d = rans.RansDecoder()
+            d.set_stream(y_strings[b])
+            decoders.append(d)
+
+        y_hat = jnp.zeros((B, y_h, y_w, 0), jnp.float32)
+        for i in range(self.cfg.num_slices):
+            support, mu, indexes = self._slice_ctx(
+                i, self.params, ls, lm, y_hat, st)
+            idx_np = np.asarray(jax.device_get(indexes))
+            symbols = np.empty((B, y_h, y_w, sd), np.int32)
+            for b in range(B):
+                flat = decoders[b].decode_stream(
+                    _nchw_flat(idx_np[b]), t.gaussian.quantized_cdf,
+                    t.gaussian.cdf_length, t.gaussian.offset)
+                symbols[b] = _unflatten_chw(flat, y_h, y_w, sd)
+            y_hat_slice = self._slice_apply(
+                i, self.params, support, mu,
+                jnp.asarray(symbols, jnp.float32))
+            y_hat = jnp.concatenate([y_hat, y_hat_slice], axis=-1)
+
+        x_hat = self._synthesis(self.params, y_hat)
+        return {"x_hat": x_hat}

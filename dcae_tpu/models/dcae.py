@@ -1,0 +1,255 @@
+"""DCAE model: dictionary-based channel-autoregressive learned image codec.
+
+Behavioral contract (SURVEY.md §8, ref /root/reference/models/dcae.py:623-910):
+  forward(x)   -> {x_hat, likelihoods{y,z}, para{means,scales,y}}
+  + pure-device codec graphs for real coding (encode_arrays / decode_* below;
+    the host rANS driver lives in dcae_tpu.models.codec).
+
+TPU-first structure:
+  * NHWC everywhere; the 5-slice channel-AR loop is unrolled inside one jit —
+    a static graph, no host round-trips during encode (the reference's
+    encoder simulates the z-decode on host; here round(z - median) + median is
+    computed on device, which equals the decoded value by construction).
+  * The drift-robust variant (reference fork's dcae_7 DriftSimulator) is a
+    config option: uniform noise on the decoder-side support/mu/sigma and the
+    transferred z_hat during training only.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dcae_tpu.config import DCAEConfig
+from dcae_tpu.entropy import gaussian
+from dcae_tpu.entropy.bottleneck import EntropyBottleneck
+from dcae_tpu.entropy.ops import ste_round
+from dcae_tpu.models.transforms import (
+    GAnalysis,
+    GSynthesis,
+    HyperAnalysis,
+    HyperSynthesis,
+    SliceNet,
+)
+
+Dtype = Any
+
+
+class DCAE(nn.Module):
+    cfg: DCAEConfig
+    dtype: Optional[Dtype] = None
+
+    def setup(self):
+        cfg = self.cfg
+        self.g_a = GAnalysis(cfg, dtype=self.dtype)
+        self.g_s = GSynthesis(cfg, dtype=self.dtype)
+        self.h_a = HyperAnalysis(cfg, dtype=self.dtype)
+        self.h_z_s1 = HyperSynthesis(cfg, dtype=self.dtype)  # latent scales
+        self.h_z_s2 = HyperSynthesis(cfg, dtype=self.dtype)  # latent means
+
+        self.dt = self.param(
+            "dt", nn.initializers.normal(stddev=1.0),
+            (cfg.dict_num, cfg.dict_dim))
+
+        from dcae_tpu.ops.dictionary import DictionaryCrossAttention
+        self.dt_cross_attention = [
+            DictionaryCrossAttention(
+                output_dim=cfg.M, head_num=cfg.dict_head_num,
+                head_dim=cfg.dict_head_dim, mlp_rate=cfg.mlp_rate,
+                qkv_bias=cfg.qkv_bias, dtype=self.dtype)
+            for _ in range(cfg.num_slices)
+        ]
+        self.cc_mean_transforms = [
+            SliceNet(cfg, dtype=self.dtype) for _ in range(cfg.num_slices)]
+        self.cc_scale_transforms = [
+            SliceNet(cfg, dtype=self.dtype) for _ in range(cfg.num_slices)]
+        self.lrp_transforms = [
+            SliceNet(cfg, dtype=self.dtype) for _ in range(cfg.num_slices)]
+
+        self.entropy_bottleneck = EntropyBottleneck(
+            channels=cfg.eb_channels, filters=cfg.eb_filters,
+            init_scale=cfg.eb_init_scale, tail_mass=cfg.eb_tail_mass)
+
+    # ------------------------------------------------------------------
+    # pieces (each independently invocable via apply(..., method=...))
+    # ------------------------------------------------------------------
+
+    def analysis(self, x: jax.Array) -> jax.Array:
+        return self.g_a(x)
+
+    def synthesis(self, y_hat: jax.Array) -> jax.Array:
+        return self.g_s(y_hat)
+
+    def hyper_analysis(self, y: jax.Array) -> jax.Array:
+        return self.h_a(y)
+
+    def hyper_synthesis(self, z_hat: jax.Array):
+        return self.h_z_s1(z_hat), self.h_z_s2(z_hat)
+
+    def eb_medians(self) -> jax.Array:
+        return self.entropy_bottleneck.medians()
+
+    def aux_loss(self) -> jax.Array:
+        return self.entropy_bottleneck.aux_loss()
+
+    def _drift(self, x: jax.Array, enabled: bool) -> jax.Array:
+        """Uniform +/-noise injection (training-time drift robustness,
+        ref models/dcae_7.py:424-438)."""
+        if not enabled or self.cfg.drift_noise <= 0:
+            return x
+        rng = self.make_rng("drift")
+        noise = (jax.random.uniform(rng, x.shape, x.dtype) - 0.5)
+        return x + noise * (2 * self.cfg.drift_noise)
+
+    def _slice_context(self, slice_index: int, latent_scales: jax.Array,
+                       latent_means: jax.Array,
+                       y_hat_slices: List[jax.Array], y_h: int, y_w: int,
+                       drift: bool = False):
+        """Context for slice i: query -> dictionary cross-attn -> support ->
+        (support, mu, sigma). (ref models/dcae.py:643-655)"""
+        cfg = self.cfg
+        support_slices = y_hat_slices[: cfg.max_support_slices] \
+            if cfg.max_support_slices >= 0 else y_hat_slices
+        query = jnp.concatenate([latent_scales, latent_means] +
+                                list(support_slices), axis=-1)
+        dict_info = self.dt_cross_attention[slice_index](query, self.dt)
+        support = jnp.concatenate([query, dict_info], axis=-1)
+        support = self._drift(support, drift)
+        mu = self.cc_mean_transforms[slice_index](support)[:, :y_h, :y_w, :]
+        sigma = self.cc_scale_transforms[slice_index](support)[:, :y_h, :y_w, :]
+        mu = self._drift(mu, drift)
+        sigma = self._drift(sigma, drift)
+        return support, mu, sigma
+
+    def _slice_lrp(self, slice_index: int, support: jax.Array,
+                   y_hat_slice: jax.Array) -> jax.Array:
+        lrp_in = jnp.concatenate([support, y_hat_slice], axis=-1)
+        return 0.5 * jnp.tanh(self.lrp_transforms[slice_index](lrp_in))
+
+    # ------------------------------------------------------------------
+    # training / eval forward
+    # ------------------------------------------------------------------
+
+    def __call__(self, x: jax.Array, training: bool = False):
+        cfg = self.cfg
+        y = self.g_a(x)
+        B, y_h, y_w, _ = y.shape
+        z = self.h_a(y)
+
+        _, z_likelihoods = self.entropy_bottleneck(z, training=training)
+        medians = self.eb_medians().reshape(1, 1, 1, -1)
+        z_hat = ste_round(z - medians) + medians
+        z_hat = self._drift(z_hat, training)  # transfer drift (dcae_7)
+
+        latent_scales, latent_means = self.hyper_synthesis(z_hat)
+
+        y_slices = jnp.split(y, cfg.num_slices, axis=-1)
+        y_hat_slices: List[jax.Array] = []
+        y_likelihoods, mu_list, scale_list = [], [], []
+        for i, y_slice in enumerate(y_slices):
+            support, mu, sigma = self._slice_context(
+                i, latent_scales, latent_means, y_hat_slices, y_h, y_w,
+                drift=training)
+            mu_list.append(mu)
+            scale_list.append(sigma)
+            rng = self.make_rng("noise") if training else None
+            _, like = gaussian.apply(y_slice, sigma, mu, training=training,
+                                     rng=rng, scale_bound=cfg.scales_min)
+            y_likelihoods.append(like)
+            y_hat_slice = ste_round(y_slice - mu) + mu
+            y_hat_slice = y_hat_slice + self._slice_lrp(i, support,
+                                                        y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        x_hat = self.g_s(y_hat)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {
+                "y": jnp.concatenate(y_likelihoods, axis=-1),
+                "z": z_likelihoods,
+            },
+            "para": {
+                "means": jnp.concatenate(mu_list, axis=-1),
+                "scales": jnp.concatenate(scale_list, axis=-1),
+                "y": y,
+            },
+        }
+
+    # ------------------------------------------------------------------
+    # real-codec device graphs
+    # ------------------------------------------------------------------
+
+    def encode_arrays(self, x: jax.Array, scale_table: jax.Array):
+        """Single-jit encoder graph: everything the host coder needs.
+
+        Returns dict with int32 symbol/index tensors:
+          z_symbols (B,zh,zw,C), y_symbols/y_indexes (S,B,yh,yw,slice_dim).
+        The decoder-side y_hat recursion (round + mu + LRP) is replicated
+        exactly so encoder and decoder contexts agree.
+        (ref compress(): models/dcae.py:698-761)
+        """
+        cfg = self.cfg
+        y = self.g_a(x)
+        B, y_h, y_w, _ = y.shape
+        z = self.h_a(y)
+        medians = self.eb_medians().reshape(1, 1, 1, -1)
+        z_symbols = jnp.round(z - medians).astype(jnp.int32)
+        z_hat = z_symbols.astype(jnp.float32) + medians
+
+        latent_scales, latent_means = self.hyper_synthesis(z_hat)
+
+        y_slices = jnp.split(y, cfg.num_slices, axis=-1)
+        y_hat_slices: List[jax.Array] = []
+        sym_list, idx_list = [], []
+        for i, y_slice in enumerate(y_slices):
+            support, mu, sigma = self._slice_context(
+                i, latent_scales, latent_means, y_hat_slices, y_h, y_w)
+            indexes = gaussian.build_indexes(sigma, scale_table,
+                                             cfg.scales_min)
+            symbols = jnp.round(y_slice - mu).astype(jnp.int32)
+            y_hat_slice = symbols.astype(jnp.float32) + mu
+            sym_list.append(symbols)
+            idx_list.append(indexes)
+            y_hat_slice = y_hat_slice + self._slice_lrp(i, support,
+                                                        y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        return {
+            "z_symbols": z_symbols,
+            "y_symbols": jnp.stack(sym_list),
+            "y_indexes": jnp.stack(idx_list),
+        }
+
+    def decode_hyper(self, z_hat: jax.Array):
+        """Stage 1 of decode: hyper synthesis from the dequantized z."""
+        return self.hyper_synthesis(z_hat)
+
+    def decode_slice_context(self, slice_index: int,
+                             latent_scales: jax.Array,
+                             latent_means: jax.Array,
+                             y_hat_prev: jax.Array,
+                             scale_table: jax.Array, y_h: int, y_w: int):
+        """Stage 2 (per slice): context + coding indexes for slice i.
+        y_hat_prev: (B, yh, yw, i*slice_dim) concatenation of decoded slices.
+        Returns (support, mu, indexes)."""
+        prev = ([] if slice_index == 0 else
+                list(jnp.split(y_hat_prev, slice_index, axis=-1)))
+        support, mu, sigma = self._slice_context(
+            slice_index, latent_scales, latent_means, prev, y_h, y_w)
+        indexes = gaussian.build_indexes(sigma, scale_table,
+                                         self.cfg.scales_min)
+        return support, mu, indexes
+
+    def decode_slice_apply(self, slice_index: int, support: jax.Array,
+                           mu: jax.Array, symbols: jax.Array) -> jax.Array:
+        """Stage 3 (per slice): apply host-decoded symbols -> y_hat slice."""
+        y_hat_slice = symbols.astype(jnp.float32) + mu
+        return y_hat_slice + self._slice_lrp(slice_index, support,
+                                             y_hat_slice)
+
+    def decode_synthesis(self, y_hat: jax.Array) -> jax.Array:
+        return jnp.clip(self.g_s(y_hat), 0.0, 1.0)

@@ -217,9 +217,30 @@ class ResScaleConvolutionGateBlock(nn.Module):
         return Scale(dim, name="res_scale_2")(x) + h
 
 
+class SwinPair(nn.Module):
+    """One (W, SW) block pair — the scan body of deep Swin stages."""
+    head_dim: int
+    window_size: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, _):
+        x = ResScaleConvolutionGateBlock(
+            self.head_dim, self.window_size, shifted=False, dtype=self.dtype,
+            name="w")(x)
+        x = ResScaleConvolutionGateBlock(
+            self.head_dim, self.window_size, shifted=True, dtype=self.dtype,
+            name="sw")(x)
+        return x, None
+
+
 class SwinStack(nn.Module):
     """block_num alternating W/SW blocks + trailing 3x3 conv, residual.
     (ref SwinBlockWithConvMulti, models/dcae.py:359-383)
+
+    Deep stages (block_num >= 4, even) run as a lax.scan over (W, SW) pairs
+    with stacked per-pair params — one compiled body instead of 12 traced
+    blocks (the reference's 12-deep stage is the compile-time hot spot).
 
     Inputs smaller than the window are center-padded up to a window multiple
     and cropped back (the reference pads but never crops — a latent quirk
@@ -240,10 +261,18 @@ class SwinStack(nn.Module):
         if pad_h or pad_w:
             t = jnp.pad(t, ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
                             (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
-        for i in range(self.block_num):
-            t = ResScaleConvolutionGateBlock(
-                self.head_dim, w, shifted=(i % 2 == 1), dtype=self.dtype,
-                name=f"block{i}")(t)
+        if self.block_num >= 4 and self.block_num % 2 == 0:
+            scan = nn.scan(SwinPair,
+                           variable_axes={"params": 0},
+                           split_rngs={"params": True},
+                           length=self.block_num // 2)
+            t, _ = scan(self.head_dim, w, dtype=self.dtype,
+                        name="pairs")(t, None)
+        else:
+            for i in range(self.block_num):
+                t = ResScaleConvolutionGateBlock(
+                    self.head_dim, w, shifted=(i % 2 == 1), dtype=self.dtype,
+                    name=f"block{i}")(t)
         if pad_h or pad_w:
             t = t[:, pad_h // 2: pad_h // 2 + H,
                   pad_w // 2: pad_w // 2 + W, :]

@@ -1,0 +1,117 @@
+"""TCP bitstream transport — wire parity with the reference client/server.
+
+Protocol (/root/reference/client.py:131-153, server.py:24-50):
+    client -> "name|size" header, server -> b"ACK", client -> raw bytes.
+Plus a higher-level BitstreamServer that can optionally decode received
+payloads with a codec (the reference decodes offline).
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import threading
+from typing import Callable, Optional
+
+
+def send_bytes(name: str, data: bytes, host: str, port: int,
+               timeout: float = 60.0) -> None:
+    """Send one named payload using the name|size + ACK protocol."""
+    sock = socket.create_connection((host, port), timeout=timeout)
+    try:
+        header = f"{name}|{len(data)}".encode()
+        sock.sendall(header)
+        ack = sock.recv(1024)
+        if ack != b"ACK":
+            raise ConnectionError(f"no ACK from server (got {ack!r})")
+        sock.sendall(data)
+    finally:
+        sock.close()
+
+
+def send_file(path: str, host: str, port: int) -> None:
+    with open(path, "rb") as f:
+        data = f.read()
+    send_bytes(os.path.basename(path), data, host, port)
+
+
+class BitstreamServer:
+    """Accept loop: receives named payloads into out_dir as
+    'received_<name>' (reference server.py behavior) and optionally calls
+    on_payload(name, bytes)."""
+
+    def __init__(self, port: int, out_dir: str = "./output/binary/bin",
+                 on_payload: Optional[Callable[[str, bytes], None]] = None):
+        self.port = port
+        self.out_dir = out_dir
+        self.on_payload = on_payload
+        self._sock: Optional[socket.socket] = None
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+
+    def start(self, background: bool = False) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind(("", self.port))
+        self._sock.listen(5)
+        self._running = True
+        if background:
+            self._thread = threading.Thread(target=self._serve, daemon=True)
+            self._thread.start()
+        else:
+            self._serve()
+
+    @property
+    def bound_port(self) -> int:
+        return self._sock.getsockname()[1]
+
+    def _serve(self) -> None:
+        while self._running:
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                break
+            try:
+                self._handle(conn)
+            except Exception as e:  # keep serving on bad clients
+                print(f"[server] error: {e}")
+            finally:
+                conn.close()
+
+    def _handle(self, conn: socket.socket) -> None:
+        header = conn.recv(4096).decode()
+        if not header or "|" not in header:
+            return
+        name, size_s = header.rsplit("|", 1)
+        size = int(size_s)
+        conn.sendall(b"ACK")
+        chunks = []
+        received = 0
+        while received < size:
+            data = conn.recv(min(65536, size - received))
+            if not data:
+                break
+            chunks.append(data)
+            received += len(data)
+        payload = b"".join(chunks)
+        if received != size:
+            print(f"[server] short read for {name}: {received}/{size}")
+            return
+        safe = os.path.basename(name)
+        out_path = os.path.join(self.out_dir, f"received_{safe}")
+        with open(out_path, "wb") as f:
+            f.write(payload)
+        if self.on_payload is not None:
+            self.on_payload(safe, payload)
+
+    def stop(self) -> None:
+        self._running = False
+        if self._sock is not None:
+            try:
+                self._sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            self._sock.close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

@@ -1,0 +1,132 @@
+"""Training driver: the canonical RD recipe, data-parallel over a TPU mesh.
+
+Parity with /root/reference/train.py (recipe: dual Adam, clip 1.0,
+MultiStepLR x0.1 at --lr_epoch, bs 8, patch 256^2, checkpoint
+latest/every-5/best, resume restores optimizers+schedule). DDP/NCCL is
+replaced by jit over a (dp, sp) mesh (dcae_tpu.parallel.mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcae_tpu.config import DCAEConfig
+from dcae_tpu.data.datasets import ImageFolder
+from dcae_tpu.models.dcae import DCAE
+from dcae_tpu.parallel import mesh as pmesh
+from dcae_tpu.train.state import (TrainState, create_train_state,
+                                  make_optimizer, multistep_lr)
+from dcae_tpu.train.step import make_eval_step, make_train_step
+from dcae_tpu.utils.checkpoint import (CheckpointPolicy, load_checkpoint)
+from dcae_tpu.utils.metrics import AverageMeter
+
+
+@dataclasses.dataclass
+class TrainOptions:
+    dataset: str
+    epochs: int = 50
+    learning_rate: float = 1e-4
+    aux_learning_rate: float = 1e-3
+    lmbda: float = 0.0483
+    batch_size: int = 8
+    test_batch_size: int = 8
+    patch_size: int = 256
+    loss_type: str = "mse"          # mse | ms-ssim | l1
+    lr_epochs: Tuple[int, ...] = (46,)
+    clip_max_norm: float = 1.0
+    seed: int = 100
+    save: bool = True
+    save_path: str = "./checkpoints"
+    checkpoint: Optional[str] = None
+    continue_train: bool = True
+    num_workers: int = 8
+    sp: int = 1                      # spatial mesh axis
+    drift_noise: float = 0.0
+    log_every: int = 100
+
+
+def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
+    if cfg is None:
+        cfg = DCAEConfig(drift_noise=opts.drift_noise)
+
+    train_ds = ImageFolder(opts.dataset, "train", opts.patch_size,
+                           seed=opts.seed, num_workers=opts.num_workers)
+    test_ds = ImageFolder(opts.dataset, "test", opts.patch_size,
+                          seed=opts.seed, num_workers=opts.num_workers)
+    steps_per_epoch = train_ds.steps_per_epoch(opts.batch_size)
+
+    model = DCAE(cfg)
+    rng = jax.random.PRNGKey(opts.seed)
+    init_rng, state_rng = jax.random.split(rng)
+    dummy = jnp.zeros((1, opts.patch_size, opts.patch_size, cfg.in_channels),
+                      jnp.float32)
+    params = model.init({"params": init_rng}, dummy, training=False)["params"]
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+    print(f"model: {n_params / 1e6:.1f}M params, "
+          f"{steps_per_epoch} steps/epoch")
+
+    schedule = multistep_lr(
+        opts.learning_rate, [m * steps_per_epoch for m in opts.lr_epochs])
+    tx = make_optimizer(schedule, opts.aux_learning_rate, opts.clip_max_norm)
+    state = create_train_state(params, tx, state_rng)
+
+    last_epoch = 0
+    policy = CheckpointPolicy(opts.save_path)
+    if opts.checkpoint:
+        state, last_epoch, best = load_checkpoint(opts.checkpoint, state)
+        policy.best_loss = best
+        print(f"resumed from {opts.checkpoint} @ epoch {last_epoch} "
+              f"(loss {best:.4f})")
+        if not opts.continue_train:
+            # arch-migration resume: keep params, rebuild optimizer state
+            # (ref train_origin.py:455-480)
+            state = create_train_state(state.params, tx, state_rng)
+            state = dataclasses.replace(
+                state, step=jnp.asarray(last_epoch * steps_per_epoch,
+                                        jnp.int32))
+
+    device_mesh = pmesh.make_mesh(sp=opts.sp)
+    train_step = pmesh.shard_train_step(
+        make_train_step(model, tx, opts.lmbda, opts.loss_type), device_mesh)
+    eval_step = pmesh.shard_eval_step(
+        make_eval_step(model, opts.lmbda, opts.loss_type), device_mesh)
+    state = jax.device_put(state, pmesh.replicated(device_mesh))
+    bshard = pmesh.batch_sharding(device_mesh)
+
+    for epoch in range(last_epoch, opts.epochs):
+        t0 = time.time()
+        meters = {k: AverageMeter() for k in ("loss", "bpp_loss", "aux_loss")}
+        for i, batch in enumerate(train_ds.batches(opts.batch_size, epoch)):
+            batch = jax.device_put(batch, bshard)
+            state, metrics = train_step(state, batch)
+            if i % opts.log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                for k in meters:
+                    meters[k].update(metrics.get(k, 0.0))
+                dist_key = next(k for k in metrics if k.endswith("_loss")
+                                and k not in ("bpp_loss", "aux_loss"))
+                print(f"epoch {epoch} [{i}/{steps_per_epoch}] "
+                      f"loss {metrics['loss']:.4f} | "
+                      f"{dist_key} {metrics[dist_key]:.5f} | "
+                      f"bpp {metrics['bpp_loss']:.3f} | "
+                      f"aux {metrics['aux_loss']:.1f}")
+
+        test_meter = AverageMeter()
+        for batch in test_ds.batches(opts.test_batch_size, drop_last=False):
+            if batch.shape[0] % device_mesh.shape["dp"] != 0:
+                continue
+            m = eval_step(state.params, jax.device_put(batch, bshard))
+            test_meter.update(float(m["loss"]), batch.shape[0])
+        test_loss = test_meter.avg
+        print(f"epoch {epoch}: test loss {test_loss:.4f} "
+              f"({time.time() - t0:.0f}s)")
+
+        if opts.save:
+            policy.save(jax.device_get(state), epoch + 1, test_loss)
+    return state

@@ -1,0 +1,54 @@
+"""The jitted RD training step."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dcae_tpu.models.dcae import DCAE
+from dcae_tpu.train.losses import rate_distortion_loss
+from dcae_tpu.train.state import TrainState
+
+
+def make_train_step(model: DCAE, tx: optax.GradientTransformation,
+                    lmbda: float, metric: str = "mse"
+                    ) -> Callable[[TrainState, jax.Array],
+                                  Tuple[TrainState, Dict]]:
+    """One fused RD + aux step (see train.state module docstring)."""
+
+    def train_step(state: TrainState, batch: jax.Array):
+        rng, noise_rng, drift_rng = jax.random.split(state.rng, 3)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params}, batch, training=True,
+                rngs={"noise": noise_rng, "drift": drift_rng})
+            rd = rate_distortion_loss(out, batch, lmbda, metric)
+            aux = model.apply({"params": params}, method=DCAE.aux_loss)
+            return rd["loss"] + aux, (rd, aux)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (rd, aux)), grads = grad_fn(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, rng=rng)
+        metrics = {k: v for k, v in rd.items()}
+        metrics["aux_loss"] = aux
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: DCAE, lmbda: float, metric: str = "mse"):
+    def eval_step(params, batch: jax.Array) -> Dict:
+        out = model.apply({"params": params}, batch, training=False)
+        rd = rate_distortion_loss(out, batch, lmbda, metric)
+        mse = jnp.mean((out["x_hat"] - batch) ** 2)
+        rd["psnr"] = -10.0 * jnp.log10(mse)
+        return rd
+
+    return eval_step

@@ -1,0 +1,69 @@
+"""Container (.bin) and TCP transport tests — byte-level format checks."""
+
+import os
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from dcae_tpu.runtime import container
+from dcae_tpu.runtime.service import BitstreamServer, send_bytes
+
+
+class TestBinContainer:
+    def test_layout_exact_bytes(self):
+        """Field-for-field layout parity with the reference container
+        (>H h, >H w, >I len(y), y, >I len(z), z)."""
+        y, z = b"yy-payload", b"z-data"
+        blob = container.pack_bin([[y], [z]], (512, 768))
+        assert blob[0:2] == (512).to_bytes(2, "big")
+        assert blob[2:4] == (768).to_bytes(2, "big")
+        assert blob[4:8] == len(y).to_bytes(4, "big")
+        assert blob[8:8 + len(y)] == y
+        off = 8 + len(y)
+        assert blob[off:off + 4] == len(z).to_bytes(4, "big")
+        assert blob[off + 4:] == z
+
+    def test_round_trip_and_geometry(self, tmp_path):
+        y = os.urandom(1000)
+        z = os.urandom(64)
+        path = str(tmp_path / "img.bin")
+        container.save_bin(path, [[y], [z]], (500, 750))
+        strings, z_shape, padding, size = container.read_bin(path)
+        assert strings == [[y], [z]]
+        assert size == (500, 750)
+        # pad 500x750 -> 512x768; z = /64
+        assert z_shape == (512 // 64, 768 // 64)
+        l, r, t, b = padding
+        assert (t + 500 + b, l + 750 + r) == (512, 768)
+
+    def test_padding_identity_when_aligned(self):
+        _, padding = container.calculate_padding(512, 768)[0], \
+            container.calculate_padding(512, 768)[1]
+        assert padding == (0, 0, 0, 0)
+
+
+class TestTcpService:
+    def test_send_receive_round_trip(self, tmp_path):
+        received = {}
+        done = threading.Event()
+
+        def on_payload(name, data):
+            received[name] = data
+            done.set()
+
+        server = BitstreamServer(0, str(tmp_path), on_payload)
+        server.start(background=True)
+        time.sleep(0.1)
+        port = server.bound_port
+
+        payload = os.urandom(300_000)  # force chunked receive
+        send_bytes("kodim01.bin", payload, "localhost", port)
+        assert done.wait(timeout=10)
+        server.stop()
+
+        assert received["kodim01.bin"] == payload
+        on_disk = tmp_path / "received_kodim01.bin"
+        assert on_disk.read_bytes() == payload

@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Evaluation CLI — protocol parity with /root/reference/eval.py /
+eval_1.py: PSNR / MS-SSIM(dB) / bpp / enc+dec latency over a directory,
+--real for entropy-coded round trips."""
+
+import argparse
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from dcae_tpu.config import DCAEConfig  # noqa: E402
+from dcae_tpu.eval_lib import eval_directory  # noqa: E402
+from dcae_tpu.models.codec import DCAECodec  # noqa: E402
+from dcae_tpu.utils.checkpoint import load_params_only, load_tables  # noqa: E402
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="DCAE-TPU evaluation")
+    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--real", action="store_true",
+                   help="entropy-coded round trip (default: forward-only)")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny config (tests/smoke)")
+    a = p.parse_args(argv)
+
+    cfg = DCAEConfig.tiny() if a.tiny else DCAEConfig()
+    codec = DCAECodec(cfg)
+    if a.checkpoint:
+        codec.params = load_params_only(a.checkpoint, codec.params)
+        codec.tables = load_tables(a.checkpoint)
+    if a.real:
+        codec.update()  # no-op when tables came with the checkpoint
+    eval_directory(codec, a.data, real=a.real, limit=a.limit)
+
+
+if __name__ == "__main__":
+    main()
