@@ -1,0 +1,5 @@
+"""Diagnostics, metrics, checkpointing, conversion (L8)."""
+
+from dcae_tpu.utils import checkpoint, convert, metrics
+
+__all__ = ["checkpoint", "convert", "metrics"]

@@ -1,0 +1,137 @@
+"""Training-stack tests: optimizer partition, one sharded step, schedule,
+checkpoint policy, data pipeline."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dcae_tpu.config import DCAEConfig
+from dcae_tpu.models.dcae import DCAE
+from dcae_tpu.parallel import mesh as pmesh
+from dcae_tpu.train.state import (create_train_state, make_optimizer,
+                                  multistep_lr, param_labels)
+from dcae_tpu.train.step import make_eval_step, make_train_step
+from dcae_tpu.utils.checkpoint import (CheckpointPolicy, load_checkpoint,
+                                       save_checkpoint)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = DCAEConfig.tiny()
+    model = DCAE(cfg)
+    batch = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (8, cfg.pad_multiple, cfg.pad_multiple, 3)).astype(np.float32))
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch[:1],
+                        training=False)["params"]
+    return cfg, model, params, batch
+
+
+class TestOptimizerPartition:
+    def test_labels(self, setup):
+        _, _, params, _ = setup
+        labels = param_labels(params)
+        flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+        aux = [k for k, v in flat if v == "aux"]
+        assert len(aux) == 1 and "quantiles" in jax.tree_util.keystr(aux[0][0])
+
+    def test_multistep_schedule(self):
+        sched = multistep_lr(1e-4, [100, 200])
+        assert abs(float(sched(0)) - 1e-4) < 1e-12
+        assert abs(float(sched(150)) - 1e-5) < 1e-12
+        assert abs(float(sched(250)) - 1e-6) < 1e-12
+
+
+class TestTrainStep:
+    def test_one_sharded_step_updates_both_groups(self, setup):
+        cfg, model, params, batch = setup
+        mesh = pmesh.make_mesh(sp=1)
+        tx = make_optimizer(1e-4, 1e-3)
+        state = create_train_state(params, tx, jax.random.PRNGKey(1))
+        state = jax.device_put(state, pmesh.replicated(mesh))
+        batch_s = jax.device_put(batch, pmesh.batch_sharding(mesh))
+
+        step = pmesh.shard_train_step(
+            make_train_step(model, tx, lmbda=0.013), mesh)
+        new_state, metrics = step(state, batch_s)
+
+        for k in ("loss", "mse_loss", "bpp_loss", "aux_loss"):
+            assert np.isfinite(float(metrics[k])), k
+        # main group moved
+        w0 = np.asarray(params["g_a"]["down0"]["down"]["conv"]["kernel"])
+        w1 = np.asarray(
+            new_state.params["g_a"]["down0"]["down"]["conv"]["kernel"])
+        assert not np.allclose(w0, w1)
+        # aux group (quantiles) moved too, via the fused aux loss
+        q0 = np.asarray(params["entropy_bottleneck"]["quantiles"])
+        q1 = np.asarray(new_state.params["entropy_bottleneck"]["quantiles"])
+        assert not np.allclose(q0, q1)
+        assert int(new_state.step) == 1
+
+    def test_eval_step(self, setup):
+        cfg, model, params, batch = setup
+        mesh = pmesh.make_mesh(sp=1)
+        ev = pmesh.shard_eval_step(make_eval_step(model, 0.013), mesh)
+        m = ev(jax.device_put(params, pmesh.replicated(mesh)),
+               jax.device_put(batch, pmesh.batch_sharding(mesh)))
+        assert np.isfinite(float(m["loss"]))
+        assert float(m["psnr"]) > 0
+
+
+class TestCheckpointing:
+    def test_save_load_round_trip(self, setup, tmp_path):
+        _, _, params, _ = setup
+        tx = make_optimizer(1e-4)
+        state = create_train_state(params, tx, jax.random.PRNGKey(0))
+        path = str(tmp_path / "ck.ckpt")
+        save_checkpoint(path, state, epoch=7, loss=1.25)
+        restored, epoch, loss = load_checkpoint(path, state)
+        assert epoch == 7 and abs(loss - 1.25) < 1e-9
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_policy_files(self, setup, tmp_path):
+        _, _, params, _ = setup
+        tx = make_optimizer(1e-4)
+        state = create_train_state(params, tx, jax.random.PRNGKey(0))
+        policy = CheckpointPolicy(str(tmp_path))
+        policy.save(state, epoch=5, loss=2.0)
+        policy.save(state, epoch=6, loss=1.0)
+        names = set(os.listdir(tmp_path))
+        assert "checkpoint_latest.ckpt" in names
+        assert "checkpoint_epoch5.ckpt" in names
+        assert "checkpoint_best.ckpt" in names
+        _, _, best = load_checkpoint(str(tmp_path / "checkpoint_best.ckpt"),
+                                     state)
+        assert best == 1.0
+
+
+class TestDataPipeline:
+    def test_image_folder_batches(self, tmp_path):
+        from PIL import Image
+        from dcae_tpu.data.datasets import ImageFolder
+
+        rng = np.random.default_rng(0)
+        for split, n in (("train", 6), ("test", 3)):
+            os.makedirs(tmp_path / split)
+            for i in range(n):
+                arr = rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(tmp_path / split / f"{i}.png")
+
+        ds = ImageFolder(str(tmp_path), "train", patch_size=64)
+        batches = list(ds.batches(batch_size=2, epoch=0))
+        assert len(batches) == 3
+        for b in batches:
+            assert b.shape == (2, 64, 64, 3)
+            assert b.dtype == np.float32
+            assert 0 <= b.min() and b.max() <= 1
+
+        test_ds = ImageFolder(str(tmp_path), "test", patch_size=64)
+        tb = list(test_ds.batches(batch_size=2, drop_last=False))
+        assert sum(x.shape[0] for x in tb) == 3
+        # center crops are deterministic
+        tb2 = list(test_ds.batches(batch_size=2, drop_last=False))
+        np.testing.assert_array_equal(tb[0], tb2[0])
