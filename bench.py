@@ -46,7 +46,9 @@ def main():
 
     images = synthetic_kodak(n_timed + 1)
 
-    # warm-up (compiles both codec paths)
+    # warm-up (compiles both codec paths); self_check enables the fused
+    # encoder when its stream bit-matches the staged (decoder-replay) one
+    fused_ok = codec.self_check(images[:1])
     enc = codec.compress(images[:1])
     dec = codec.decompress(enc["strings"], enc["shape"])
     jax.block_until_ready(dec["x_hat"])
@@ -77,6 +79,7 @@ def main():
             "decode_ms": round(1000 * dec_s / n_timed, 1),
             "bpp": round(total_bytes * 8 / (n_timed * 512 * 768), 4),
             "n_images": n_timed,
+            "fused_encoder": fused_ok,
             "device": str(jax.devices()[0]),
         },
     }

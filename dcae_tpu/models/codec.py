@@ -60,6 +60,9 @@ class DCAECodec:
         self.tables = tables
         self._scale_table = get_scale_table(cfg.scales_min, cfg.scales_max,
                                             cfg.scales_levels)
+        # staged encode by default (cross-program bit-agreement by
+        # construction); self_check() can enable the fused fast path
+        self.fused_encode = False
         self._build_jits()
 
     # -------------------------------------------------------------- jits --
@@ -73,6 +76,10 @@ class DCAECodec:
         self._encode = jax.jit(
             lambda p, x, st: model.apply(
                 {"params": p}, x, st, method=DCAE.encode_arrays))
+
+        self._analyze = jax.jit(
+            lambda p, x: model.apply(
+                {"params": p}, x, method=DCAE.encode_analysis))
 
         self._hyper = jax.jit(
             lambda p, z_hat: model.apply(
@@ -125,9 +132,34 @@ class DCAECodec:
             raise RuntimeError("call update() before real coding")
         return self.tables
 
-    def compress(self, x) -> dict:
+    def compress(self, x, fused: Optional[bool] = None) -> dict:
         """x: (B,H,W,3) float in [0,1], H and W multiples of cfg.pad_multiple.
-        Returns {"strings": [y_strings, z_strings], "shape": (zh, zw)}."""
+        Returns {"strings": [y_strings, z_strings], "shape": (zh, zw)}.
+
+        Two encoder modes:
+          staged (default) — drives the SAME compiled slice-context programs
+            the decoder uses, so the mu/sigma the encoder codes against are
+            bit-identical to the decoder's by construction (the cross-program
+            analog of the reference fork's drift problem cannot occur).
+          fused (fused=True or self.fused_encode=True) — one device program
+            for the whole encode (faster; validate with self_check() first,
+            which flips fused_encode on when streams agree).
+        """
+        if fused is None:
+            fused = self.fused_encode
+        return (self._compress_fused(x) if fused
+                else self._compress_staged(x))
+
+    def _encode_z(self, z_sym: np.ndarray) -> List[bytes]:
+        t = self._require_tables()
+        B, zh, zw, C = z_sym.shape
+        z_index_flat = np.repeat(np.arange(C, dtype=np.int32), zh * zw)
+        return [rans.encode_with_indexes(
+            _nchw_flat(z_sym[b]), z_index_flat,
+            t.factorized.quantized_cdf, t.factorized.cdf_length,
+            t.factorized.offset) for b in range(B)]
+
+    def _compress_fused(self, x) -> dict:
         t = self._require_tables()
         x = jnp.asarray(x, jnp.float32)
         out = jax.device_get(
@@ -136,16 +168,10 @@ class DCAECodec:
         y_sym = out["y_symbols"]          # (S, B, yh, yw, c)
         y_idx = out["y_indexes"]
 
-        B, zh, zw, C = z_sym.shape
-        z_index_flat = np.repeat(np.arange(C, dtype=np.int32), zh * zw)
-
-        z_strings: List[bytes] = []
+        B, zh, zw, _ = z_sym.shape
+        z_strings = self._encode_z(z_sym)
         y_strings: List[bytes] = []
         for b in range(B):
-            z_strings.append(rans.encode_with_indexes(
-                _nchw_flat(z_sym[b]), z_index_flat,
-                t.factorized.quantized_cdf, t.factorized.cdf_length,
-                t.factorized.offset))
             syms = np.concatenate(
                 [_nchw_flat(y_sym[s, b]) for s in range(y_sym.shape[0])])
             idxs = np.concatenate(
@@ -154,6 +180,58 @@ class DCAECodec:
                 syms, idxs, t.gaussian.quantized_cdf, t.gaussian.cdf_length,
                 t.gaussian.offset))
         return {"strings": [y_strings, z_strings], "shape": (zh, zw)}
+
+    def _compress_staged(self, x) -> dict:
+        """Encode by replaying the decoder's exact compiled programs."""
+        t = self._require_tables()
+        x = jnp.asarray(x, jnp.float32)
+        y, z_symbols, z_hat = self._analyze(self.params, x)
+        z_sym = np.asarray(jax.device_get(z_symbols))
+        B, zh, zw, _ = z_sym.shape
+        z_strings = self._encode_z(z_sym)
+
+        ls, lm = self._hyper(self.params, z_hat)
+        y_np = np.asarray(jax.device_get(y))
+        y_h, y_w = y_np.shape[1], y_np.shape[2]
+        sd = self.cfg.slice_dim
+        st = jnp.asarray(self._scale_table)
+
+        sym_chunks = [[] for _ in range(B)]
+        idx_chunks = [[] for _ in range(B)]
+        y_hat = jnp.zeros((B, y_h, y_w, 0), jnp.float32)
+        for i in range(self.cfg.num_slices):
+            support, mu, indexes = self._slice_ctx(
+                i, self.params, ls, lm, y_hat, st)
+            mu_np = np.asarray(jax.device_get(mu))
+            idx_np = np.asarray(jax.device_get(indexes))
+            y_slice = y_np[..., i * sd: (i + 1) * sd]
+            symbols = np.round(y_slice - mu_np).astype(np.int32)
+            for b in range(B):
+                sym_chunks[b].append(_nchw_flat(symbols[b]))
+                idx_chunks[b].append(_nchw_flat(idx_np[b]))
+            y_hat_slice = self._slice_apply(
+                i, self.params, support, mu,
+                jnp.asarray(symbols, jnp.float32))
+            y_hat = jnp.concatenate([y_hat, y_hat_slice], axis=-1)
+
+        y_strings = [rans.encode_with_indexes(
+            np.concatenate(sym_chunks[b]), np.concatenate(idx_chunks[b]),
+            t.gaussian.quantized_cdf, t.gaussian.cdf_length,
+            t.gaussian.offset) for b in range(B)]
+        return {"strings": [y_strings, z_strings], "shape": (zh, zw)}
+
+    def self_check(self, image=None) -> bool:
+        """Compress one image with both encoder modes; if the streams match,
+        enable the fused fast path. Returns whether fused mode is now on."""
+        if image is None:
+            rng = np.random.default_rng(0)
+            p = self.cfg.pad_multiple
+            image = rng.uniform(0, 1, (1, p, p, self.cfg.in_channels)
+                                ).astype(np.float32)
+        staged = self.compress(image, fused=False)
+        fused = self.compress(image, fused=True)
+        self.fused_encode = staged["strings"] == fused["strings"]
+        return self.fused_encode
 
     def decompress(self, strings: Sequence[Sequence[bytes]],
                    shape: Tuple[int, int]) -> dict:

@@ -224,6 +224,16 @@ class DCAE(nn.Module):
             "y_indexes": jnp.stack(idx_list),
         }
 
+    def encode_analysis(self, x: jax.Array):
+        """Encoder-only front half: (y, z_symbols, z_hat) for the staged
+        compress path (the rest reuses the decoder's programs)."""
+        y = self.g_a(x)
+        z = self.h_a(y)
+        medians = self.eb_medians().reshape(1, 1, 1, -1)
+        z_symbols = jnp.round(z - medians).astype(jnp.int32)
+        z_hat = z_symbols.astype(jnp.float32) + medians
+        return y, z_symbols, z_hat
+
     def decode_hyper(self, z_hat: jax.Array):
         """Stage 1 of decode: hyper synthesis from the dequantized z."""
         return self.hyper_synthesis(z_hat)

@@ -131,6 +131,15 @@ class TestRealCodec:
         assert enc_single["strings"][0][0] == enc["strings"][0][0]
         assert enc_single["strings"][1][0] == enc["strings"][1][0]
 
+    def test_staged_and_fused_encoders_agree(self, tiny_codec, image):
+        """The staged encoder (decoder-program replay) and the fused
+        single-program encoder must emit identical streams; self_check
+        then enables the fused fast path."""
+        staged = tiny_codec.compress(image, fused=False)
+        fused = tiny_codec.compress(image, fused=True)
+        assert staged["strings"] == fused["strings"]
+        assert tiny_codec.self_check(image) is True
+
     def test_update_required(self):
         codec = DCAECodec(DCAEConfig.tiny(), seed=1)
         with pytest.raises(RuntimeError):
