@@ -35,7 +35,7 @@ class TestOptimizerPartition:
         labels = param_labels(params)
         flat = jax.tree_util.tree_flatten_with_path(labels)[0]
         aux = [k for k, v in flat if v == "aux"]
-        assert len(aux) == 1 and "quantiles" in jax.tree_util.keystr(aux[0][0])
+        assert len(aux) == 1 and "quantiles" in jax.tree_util.keystr(aux[0])
 
     def test_multistep_schedule(self):
         sched = multistep_lr(1e-4, [100, 200])
