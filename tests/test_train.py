@@ -39,9 +39,9 @@ class TestOptimizerPartition:
 
     def test_multistep_schedule(self):
         sched = multistep_lr(1e-4, [100, 200])
-        assert abs(float(sched(0)) - 1e-4) < 1e-12
-        assert abs(float(sched(150)) - 1e-5) < 1e-12
-        assert abs(float(sched(250)) - 1e-6) < 1e-12
+        np.testing.assert_allclose(float(sched(0)), 1e-4, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(150)), 1e-5, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(250)), 1e-6, rtol=1e-6)
 
 
 class TestTrainStep:
