@@ -38,28 +38,39 @@ def main():
     from dcae_tpu.config import DCAEConfig
     from dcae_tpu.models.codec import DCAECodec
 
-    n_timed = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
     cfg = DCAEConfig()
     codec = DCAECodec(cfg, seed=0)
     codec.update(force=True)
 
-    images = synthetic_kodak(n_timed + 1)
+    images = synthetic_kodak(batch)
 
     # warm-up (compiles both codec paths); self_check enables the fused
     # encoder when its stream bit-matches the staged (decoder-replay) one
     fused_ok = codec.self_check(images[:1])
+    for b in (1, batch):
+        enc = codec.compress(images[:b])
+        dec = codec.decompress(enc["strings"], enc["shape"])
+        jax.block_until_ready(dec["x_hat"])
+
+    # single-image latency
+    t0 = time.perf_counter()
     enc = codec.compress(images[:1])
+    t1 = time.perf_counter()
     dec = codec.decompress(enc["strings"], enc["shape"])
     jax.block_until_ready(dec["x_hat"])
+    single_ms = 1000 * (time.perf_counter() - t0)
+    single_enc_ms = 1000 * (t1 - t0)
 
-    enc_s = 0.0
-    dec_s = 0.0
+    # batched throughput (one stream per image; the channel-AR round trips
+    # amortize over the batch)
+    enc_s = dec_s = 0.0
     total_bytes = 0
-    for i in range(1, n_timed + 1):
-        x = images[i: i + 1]
+    for _ in range(n_rounds):
         t0 = time.perf_counter()
-        enc = codec.compress(x)
+        enc = codec.compress(images)
         t1 = time.perf_counter()
         dec = codec.decompress(enc["strings"], enc["shape"])
         jax.block_until_ready(dec["x_hat"])
@@ -68,17 +79,20 @@ def main():
         dec_s += t2 - t1
         total_bytes += sum(len(s) for grp in enc["strings"] for s in grp)
 
-    ips = n_timed / (enc_s + dec_s)
+    n_images = batch * n_rounds
+    ips = n_images / (enc_s + dec_s)
     result = {
         "metric": "kodak768x512_encdec_images_per_sec",
         "value": round(ips, 4),
         "unit": "img/s",
         "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 4),
         "detail": {
-            "encode_ms": round(1000 * enc_s / n_timed, 1),
-            "decode_ms": round(1000 * dec_s / n_timed, 1),
-            "bpp": round(total_bytes * 8 / (n_timed * 512 * 768), 4),
-            "n_images": n_timed,
+            "batch": batch,
+            "encode_ms_per_img": round(1000 * enc_s / n_images, 1),
+            "decode_ms_per_img": round(1000 * dec_s / n_images, 1),
+            "single_image_ms": round(single_ms, 1),
+            "single_image_encode_ms": round(single_enc_ms, 1),
+            "bpp": round(total_bytes * 8 / (n_images * 512 * 768), 4),
             "fused_encoder": fused_ok,
             "device": str(jax.devices()[0]),
         },

@@ -18,7 +18,31 @@ Layer map (cf. SURVEY.md §1):
   L8 diagnostics             -> dcae_tpu.utils
 """
 
-from dcae_tpu.config import DCAEConfig
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA executables across processes (big codec graphs take
+    minutes to compile on small hosts). Opt out: DCAE_TPU_NO_CACHE=1."""
+    if _os.environ.get("DCAE_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                  _os.pardir, ".jax_cache")
+            jax.config.update("jax_compilation_cache_dir",
+                              _os.path.abspath(cache))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
+from dcae_tpu.config import DCAEConfig  # noqa: E402
 
 __version__ = "0.1.0"
 

@@ -50,6 +50,8 @@ class DCAECodec:
                  tables: Optional[CodecTables] = None,
                  dtype=None, seed: int = 0):
         self.cfg = cfg
+        if dtype is None and cfg.compute_dtype == "bfloat16":
+            dtype = jnp.bfloat16
         self.model = DCAE(cfg, dtype=dtype)
         if params is None:
             dummy = jnp.zeros((1, cfg.pad_multiple, cfg.pad_multiple,
@@ -81,23 +83,23 @@ class DCAECodec:
             lambda p, x: model.apply(
                 {"params": p}, x, method=DCAE.encode_analysis))
 
-        self._hyper = jax.jit(
-            lambda p, z_hat: model.apply(
-                {"params": p}, z_hat, method=DCAE.decode_hyper))
+        self._start = jax.jit(
+            lambda p, z_hat, st: model.apply(
+                {"params": p}, z_hat, st, method=DCAE.decode_start))
 
         @functools.partial(jax.jit, static_argnums=(0,))
-        def _slice_ctx(i, p, ls, lm, y_hat_prev, st):
-            y_h, y_w = ls.shape[1], ls.shape[2]
-            return model.apply({"params": p}, i, ls, lm, y_hat_prev, st,
-                               y_h, y_w, method=DCAE.decode_slice_context)
+        def _step(i, p, ls, lm, y_hat_prev, support, mu, symbols, st):
+            return model.apply({"params": p}, i, ls, lm, y_hat_prev,
+                               support, mu, symbols, st,
+                               method=DCAE.decode_step)
 
-        @functools.partial(jax.jit, static_argnums=(0,))
-        def _slice_apply(i, p, support, mu, symbols):
-            return model.apply({"params": p}, i, support, mu, symbols,
-                               method=DCAE.decode_slice_apply)
+        @functools.partial(jax.jit, donate_argnums=())
+        def _end(p, y_hat_prev, support, mu, symbols):
+            return model.apply({"params": p}, y_hat_prev, support, mu,
+                               symbols, method=DCAE.decode_end)
 
-        self._slice_ctx = _slice_ctx
-        self._slice_apply = _slice_apply
+        self._step = _step
+        self._end = _end
         self._synthesis = jax.jit(
             lambda p, y_hat: model.apply(
                 {"params": p}, y_hat, method=DCAE.decode_synthesis))
@@ -182,7 +184,8 @@ class DCAECodec:
         return {"strings": [y_strings, z_strings], "shape": (zh, zw)}
 
     def _compress_staged(self, x) -> dict:
-        """Encode by replaying the decoder's exact compiled programs."""
+        """Encode by replaying the decoder's exact compiled programs
+        (decode_start/step), computing symbols by host rounding."""
         t = self._require_tables()
         x = jnp.asarray(x, jnp.float32)
         y, z_symbols, z_hat = self._analyze(self.params, x)
@@ -190,29 +193,28 @@ class DCAECodec:
         B, zh, zw, _ = z_sym.shape
         z_strings = self._encode_z(z_sym)
 
-        ls, lm = self._hyper(self.params, z_hat)
+        st = jnp.asarray(self._scale_table)
+        ls, lm, support, mu, indexes = self._start(self.params, z_hat, st)
         y_np = np.asarray(jax.device_get(y))
         y_h, y_w = y_np.shape[1], y_np.shape[2]
         sd = self.cfg.slice_dim
-        st = jnp.asarray(self._scale_table)
 
         sym_chunks = [[] for _ in range(B)]
         idx_chunks = [[] for _ in range(B)]
         y_hat = jnp.zeros((B, y_h, y_w, 0), jnp.float32)
+        symbols = None
         for i in range(self.cfg.num_slices):
-            support, mu, indexes = self._slice_ctx(
-                i, self.params, ls, lm, y_hat, st)
+            if i > 0:
+                y_hat, support, mu, indexes = self._step(
+                    i, self.params, ls, lm, y_hat, support, mu,
+                    jnp.asarray(symbols, jnp.float32), st)
             mu_np = np.asarray(jax.device_get(mu))
-            idx_np = np.asarray(jax.device_get(indexes))
+            idx_np = np.asarray(jax.device_get(indexes)).astype(np.int32)
             y_slice = y_np[..., i * sd: (i + 1) * sd]
             symbols = np.round(y_slice - mu_np).astype(np.int32)
             for b in range(B):
                 sym_chunks[b].append(_nchw_flat(symbols[b]))
                 idx_chunks[b].append(_nchw_flat(idx_np[b]))
-            y_hat_slice = self._slice_apply(
-                i, self.params, support, mu,
-                jnp.asarray(symbols, jnp.float32))
-            y_hat = jnp.concatenate([y_hat, y_hat_slice], axis=-1)
 
         y_strings = [rans.encode_with_indexes(
             np.concatenate(sym_chunks[b]), np.concatenate(idx_chunks[b]),
@@ -256,7 +258,6 @@ class DCAECodec:
             self.params["entropy_bottleneck"]["quantiles"])[:, 0, 1]
         z_hat = z_hat + medians.reshape(1, 1, 1, C)
 
-        ls, lm = self._hyper(self.params, jnp.asarray(z_hat))
         y_h, y_w = zh * 4, zw * 4
         sd = self.cfg.slice_dim
         st = jnp.asarray(self._scale_table)
@@ -267,21 +268,25 @@ class DCAECodec:
             d.set_stream(y_strings[b])
             decoders.append(d)
 
-        y_hat = jnp.zeros((B, y_h, y_w, 0), jnp.float32)
-        for i in range(self.cfg.num_slices):
-            support, mu, indexes = self._slice_ctx(
-                i, self.params, ls, lm, y_hat, st)
-            idx_np = np.asarray(jax.device_get(indexes))
+        def host_decode(indexes) -> np.ndarray:
+            idx_np = np.asarray(jax.device_get(indexes)).astype(np.int32)
             symbols = np.empty((B, y_h, y_w, sd), np.int32)
             for b in range(B):
                 flat = decoders[b].decode_stream(
                     _nchw_flat(idx_np[b]), t.gaussian.quantized_cdf,
                     t.gaussian.cdf_length, t.gaussian.offset)
                 symbols[b] = _unflatten_chw(flat, y_h, y_w, sd)
-            y_hat_slice = self._slice_apply(
-                i, self.params, support, mu,
-                jnp.asarray(symbols, jnp.float32))
-            y_hat = jnp.concatenate([y_hat, y_hat_slice], axis=-1)
+            return symbols
 
-        x_hat = self._synthesis(self.params, y_hat)
+        ls, lm, support, mu, indexes = self._start(
+            self.params, jnp.asarray(z_hat), st)
+        y_hat = jnp.zeros((B, y_h, y_w, 0), jnp.float32)
+        for i in range(1, self.cfg.num_slices):
+            symbols = host_decode(indexes)
+            y_hat, support, mu, indexes = self._step(
+                i, self.params, ls, lm, y_hat, support, mu,
+                jnp.asarray(symbols, jnp.float32), st)
+        symbols = host_decode(indexes)
+        x_hat = self._end(self.params, y_hat, support, mu,
+                          jnp.asarray(symbols, jnp.float32))
         return {"x_hat": x_hat}

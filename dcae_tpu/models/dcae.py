@@ -118,8 +118,12 @@ class DCAE(nn.Module):
         dict_info = self.dt_cross_attention[slice_index](query, self.dt)
         support = jnp.concatenate([query, dict_info], axis=-1)
         support = self._drift(support, drift)
-        mu = self.cc_mean_transforms[slice_index](support)[:, :y_h, :y_w, :]
-        sigma = self.cc_scale_transforms[slice_index](support)[:, :y_h, :y_w, :]
+        # entropy parameters always leave in float32 (quantization/coding
+        # precision), whatever the transform compute dtype is
+        mu = self.cc_mean_transforms[slice_index](support)[
+            :, :y_h, :y_w, :].astype(jnp.float32)
+        sigma = self.cc_scale_transforms[slice_index](support)[
+            :, :y_h, :y_w, :].astype(jnp.float32)
         mu = self._drift(mu, drift)
         sigma = self._drift(sigma, drift)
         return support, mu, sigma
@@ -135,9 +139,9 @@ class DCAE(nn.Module):
 
     def __call__(self, x: jax.Array, training: bool = False):
         cfg = self.cfg
-        y = self.g_a(x)
+        y = self.g_a(x).astype(jnp.float32)
         B, y_h, y_w, _ = y.shape
-        z = self.h_a(y)
+        z = self.h_a(y).astype(jnp.float32)
 
         _, z_likelihoods = self.entropy_bottleneck(z, training=training)
         medians = self.eb_medians().reshape(1, 1, 1, -1)
@@ -165,7 +169,7 @@ class DCAE(nn.Module):
             y_hat_slices.append(y_hat_slice)
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        x_hat = self.g_s(y_hat)
+        x_hat = self.g_s(y_hat).astype(jnp.float32)
         return {
             "x_hat": x_hat,
             "likelihoods": {
@@ -193,9 +197,9 @@ class DCAE(nn.Module):
         (ref compress(): models/dcae.py:698-761)
         """
         cfg = self.cfg
-        y = self.g_a(x)
+        y = self.g_a(x).astype(jnp.float32)
         B, y_h, y_w, _ = y.shape
-        z = self.h_a(y)
+        z = self.h_a(y).astype(jnp.float32)
         medians = self.eb_medians().reshape(1, 1, 1, -1)
         z_symbols = jnp.round(z - medians).astype(jnp.int32)
         z_hat = z_symbols.astype(jnp.float32) + medians
@@ -208,8 +212,8 @@ class DCAE(nn.Module):
         for i, y_slice in enumerate(y_slices):
             support, mu, sigma = self._slice_context(
                 i, latent_scales, latent_means, y_hat_slices, y_h, y_w)
-            indexes = gaussian.build_indexes(sigma, scale_table,
-                                             cfg.scales_min)
+            indexes = gaussian.build_indexes(
+                sigma, scale_table, cfg.scales_min).astype(jnp.uint8)
             symbols = jnp.round(y_slice - mu).astype(jnp.int32)
             y_hat_slice = symbols.astype(jnp.float32) + mu
             sym_list.append(symbols)
@@ -227,39 +231,63 @@ class DCAE(nn.Module):
     def encode_analysis(self, x: jax.Array):
         """Encoder-only front half: (y, z_symbols, z_hat) for the staged
         compress path (the rest reuses the decoder's programs)."""
-        y = self.g_a(x)
-        z = self.h_a(y)
+        y = self.g_a(x).astype(jnp.float32)
+        z = self.h_a(y).astype(jnp.float32)
         medians = self.eb_medians().reshape(1, 1, 1, -1)
         z_symbols = jnp.round(z - medians).astype(jnp.int32)
         z_hat = z_symbols.astype(jnp.float32) + medians
         return y, z_symbols, z_hat
 
-    def decode_hyper(self, z_hat: jax.Array):
-        """Stage 1 of decode: hyper synthesis from the dequantized z."""
-        return self.hyper_synthesis(z_hat)
-
-    def decode_slice_context(self, slice_index: int,
-                             latent_scales: jax.Array,
-                             latent_means: jax.Array,
-                             y_hat_prev: jax.Array,
-                             scale_table: jax.Array, y_h: int, y_w: int):
-        """Stage 2 (per slice): context + coding indexes for slice i.
-        y_hat_prev: (B, yh, yw, i*slice_dim) concatenation of decoded slices.
-        Returns (support, mu, indexes)."""
+    def _ctx_and_indexes(self, slice_index: int, latent_scales, latent_means,
+                         y_hat_prev: jax.Array, scale_table):
         prev = ([] if slice_index == 0 else
                 list(jnp.split(y_hat_prev, slice_index, axis=-1)))
+        y_h, y_w = latent_scales.shape[1], latent_scales.shape[2]
         support, mu, sigma = self._slice_context(
             slice_index, latent_scales, latent_means, prev, y_h, y_w)
-        indexes = gaussian.build_indexes(sigma, scale_table,
-                                         self.cfg.scales_min)
+        indexes = gaussian.build_indexes(
+            sigma, scale_table, self.cfg.scales_min).astype(jnp.uint8)
         return support, mu, indexes
 
-    def decode_slice_apply(self, slice_index: int, support: jax.Array,
-                           mu: jax.Array, symbols: jax.Array) -> jax.Array:
-        """Stage 3 (per slice): apply host-decoded symbols -> y_hat slice."""
+    def _apply_symbols(self, slice_index: int, support, mu, symbols):
         y_hat_slice = symbols.astype(jnp.float32) + mu
-        return y_hat_slice + self._slice_lrp(slice_index, support,
-                                             y_hat_slice)
+        lrp = self._slice_lrp(slice_index, support, y_hat_slice)
+        return y_hat_slice + lrp.astype(jnp.float32)
+
+    # The decode driver is latency-bound by host<->device round trips (the
+    # host rANS must run between slices), so the graphs are fused to one
+    # device call per slice: apply slice i-1's symbols AND build slice i's
+    # context in the same program. 12 calls -> 6 vs the naive staging.
+
+    def decode_start(self, z_hat: jax.Array, scale_table: jax.Array):
+        """Call 1: hyper synthesis + slice-0 context.
+        Returns (ls, lm, support0, mu0, indexes0)."""
+        latent_scales, latent_means = self.hyper_synthesis(z_hat)
+        B = z_hat.shape[0]
+        y_h, y_w = latent_scales.shape[1], latent_scales.shape[2]
+        empty = jnp.zeros((B, y_h, y_w, 0), jnp.float32)
+        support, mu, indexes = self._ctx_and_indexes(
+            0, latent_scales, latent_means, empty, scale_table)
+        return latent_scales, latent_means, support, mu, indexes
+
+    def decode_step(self, slice_index: int, latent_scales, latent_means,
+                    y_hat_prev, support_prev, mu_prev, symbols_prev,
+                    scale_table):
+        """Call i+1 (1<=i<S): finish slice i-1 with its decoded symbols,
+        then emit slice i's context. Returns (y_hat, support, mu, indexes)."""
+        y_hat_slice = self._apply_symbols(slice_index - 1, support_prev,
+                                          mu_prev, symbols_prev)
+        y_hat = jnp.concatenate([y_hat_prev, y_hat_slice], axis=-1)
+        support, mu, indexes = self._ctx_and_indexes(
+            slice_index, latent_scales, latent_means, y_hat, scale_table)
+        return y_hat, support, mu, indexes
+
+    def decode_end(self, y_hat_prev, support_last, mu_last, symbols_last):
+        """Final call: apply the last slice and synthesize the image."""
+        y_hat_slice = self._apply_symbols(self.cfg.num_slices - 1,
+                                          support_last, mu_last, symbols_last)
+        y_hat = jnp.concatenate([y_hat_prev, y_hat_slice], axis=-1)
+        return jnp.clip(self.g_s(y_hat).astype(jnp.float32), 0.0, 1.0)
 
     def decode_synthesis(self, y_hat: jax.Array) -> jax.Array:
-        return jnp.clip(self.g_s(y_hat), 0.0, 1.0)
+        return jnp.clip(self.g_s(y_hat).astype(jnp.float32), 0.0, 1.0)
