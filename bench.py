@@ -38,10 +38,13 @@ def main():
     from dcae_tpu.config import DCAEConfig
     from dcae_tpu.models.codec import DCAECodec
 
+    import os
+
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
-    cfg = DCAEConfig()
+    cfg = DCAEConfig(
+        compute_dtype=os.environ.get("DCAE_BENCH_DTYPE", "float32"))
     codec = DCAECodec(cfg, seed=0)
     codec.update(force=True)
 

@@ -21,6 +21,7 @@ returns {"strings": [y_strings, z_strings], "shape": (zh, zw)}.
 from __future__ import annotations
 
 import functools
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
@@ -65,6 +66,9 @@ class DCAECodec:
         # staged encode by default (cross-program bit-agreement by
         # construction); self_check() can enable the fused fast path
         self.fused_encode = False
+        # per-image streams are independent; the C coder releases the GIL,
+        # so batches entropy-code in parallel
+        self._pool = ThreadPoolExecutor(max_workers=8)
         self._build_jits()
 
     # -------------------------------------------------------------- jits --
@@ -156,31 +160,37 @@ class DCAECodec:
         t = self._require_tables()
         B, zh, zw, C = z_sym.shape
         z_index_flat = np.repeat(np.arange(C, dtype=np.int32), zh * zw)
-        return [rans.encode_with_indexes(
-            _nchw_flat(z_sym[b]), z_index_flat,
-            t.factorized.quantized_cdf, t.factorized.cdf_length,
-            t.factorized.offset) for b in range(B)]
+        return list(self._pool.map(
+            lambda b: rans.encode_with_indexes(
+                _nchw_flat(z_sym[b]), z_index_flat,
+                t.factorized.quantized_cdf, t.factorized.cdf_length,
+                t.factorized.offset), range(B)))
 
     def _compress_fused(self, x) -> dict:
         t = self._require_tables()
         x = jnp.asarray(x, jnp.float32)
-        out = jax.device_get(
-            self._encode(self.params, x, jnp.asarray(self._scale_table)))
-        z_sym = out["z_symbols"]          # (B, zh, zw, C)
-        y_sym = out["y_symbols"]          # (S, B, yh, yw, c)
-        y_idx = out["y_indexes"]
+        out = self._encode(self.params, x, jnp.asarray(self._scale_table))
+        z_sym = np.asarray(jax.device_get(out["z_symbols"]))  # (B,zh,zw,C)
+        if bool(out["y_overflow"]):
+            y_sym = np.asarray(jax.device_get(out["y_symbols"]))
+        else:
+            y_sym = np.asarray(jax.device_get(out["y_symbols16"])).astype(
+                np.int32)
+        y_idx = np.asarray(jax.device_get(out["y_indexes"]))  # uint8
 
         B, zh, zw, _ = z_sym.shape
         z_strings = self._encode_z(z_sym)
-        y_strings: List[bytes] = []
-        for b in range(B):
+
+        def encode_one(b: int) -> bytes:
             syms = np.concatenate(
                 [_nchw_flat(y_sym[s, b]) for s in range(y_sym.shape[0])])
             idxs = np.concatenate(
                 [_nchw_flat(y_idx[s, b]) for s in range(y_idx.shape[0])])
-            y_strings.append(rans.encode_with_indexes(
+            return rans.encode_with_indexes(
                 syms, idxs, t.gaussian.quantized_cdf, t.gaussian.cdf_length,
-                t.gaussian.offset))
+                t.gaussian.offset)
+
+        y_strings = list(self._pool.map(encode_one, range(B)))
         return {"strings": [y_strings, z_strings], "shape": (zh, zw)}
 
     def _compress_staged(self, x) -> dict:
@@ -268,15 +278,17 @@ class DCAECodec:
             d.set_stream(y_strings[b])
             decoders.append(d)
 
+        def decode_one(b: int, idx_np: np.ndarray) -> np.ndarray:
+            flat = decoders[b].decode_stream(
+                _nchw_flat(idx_np), t.gaussian.quantized_cdf,
+                t.gaussian.cdf_length, t.gaussian.offset)
+            return _unflatten_chw(flat, y_h, y_w, sd)
+
         def host_decode(indexes) -> np.ndarray:
             idx_np = np.asarray(jax.device_get(indexes)).astype(np.int32)
-            symbols = np.empty((B, y_h, y_w, sd), np.int32)
-            for b in range(B):
-                flat = decoders[b].decode_stream(
-                    _nchw_flat(idx_np[b]), t.gaussian.quantized_cdf,
-                    t.gaussian.cdf_length, t.gaussian.offset)
-                symbols[b] = _unflatten_chw(flat, y_h, y_w, sd)
-            return symbols
+            parts = self._pool.map(lambda b: decode_one(b, idx_np[b]),
+                                   range(B))
+            return np.stack(list(parts))
 
         ls, lm, support, mu, indexes = self._start(
             self.params, jnp.asarray(z_hat), st)

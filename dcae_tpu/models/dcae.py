@@ -137,17 +137,27 @@ class DCAE(nn.Module):
     # training / eval forward
     # ------------------------------------------------------------------
 
-    def __call__(self, x: jax.Array, training: bool = False):
-        cfg = self.cfg
+    def encode_half(self, x: jax.Array, training: bool = False):
+        """Encoder-side training forward (g_a, h_a, entropy bottleneck):
+        returns (y, z_hat, z_likelihoods). The transfer-drift injection on
+        z_hat models the cross-device handoff (ref dcae_7 CompressModel
+        forward + DCAE.transfer_drift, models/dcae_7.py:539-547,757-760)."""
         y = self.g_a(x).astype(jnp.float32)
-        B, y_h, y_w, _ = y.shape
         z = self.h_a(y).astype(jnp.float32)
-
         _, z_likelihoods = self.entropy_bottleneck(z, training=training)
         medians = self.eb_medians().reshape(1, 1, 1, -1)
         z_hat = ste_round(z - medians) + medians
         z_hat = self._drift(z_hat, training)  # transfer drift (dcae_7)
+        return y, z_hat, z_likelihoods
 
+    def decode_half(self, y: jax.Array, z_hat: jax.Array,
+                    training: bool = False):
+        """Decoder-side training forward (hyper synthesis, dictionary
+        context nets, g_s): consumes raw y + quantized z_hat, returns
+        (x_hat, y_likelihoods, means, scales).
+        (ref dcae_7 DecompressModel.forward, models/dcae_7.py:630-683)"""
+        cfg = self.cfg
+        B, y_h, y_w, _ = y.shape
         latent_scales, latent_means = self.hyper_synthesis(z_hat)
 
         y_slices = jnp.split(y, cfg.num_slices, axis=-1)
@@ -170,17 +180,18 @@ class DCAE(nn.Module):
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
         x_hat = self.g_s(y_hat).astype(jnp.float32)
+        return (x_hat, jnp.concatenate(y_likelihoods, axis=-1),
+                jnp.concatenate(mu_list, axis=-1),
+                jnp.concatenate(scale_list, axis=-1))
+
+    def __call__(self, x: jax.Array, training: bool = False):
+        y, z_hat, z_likelihoods = self.encode_half(x, training)
+        x_hat, y_likelihoods, means, scales = self.decode_half(
+            y, z_hat, training)
         return {
             "x_hat": x_hat,
-            "likelihoods": {
-                "y": jnp.concatenate(y_likelihoods, axis=-1),
-                "z": z_likelihoods,
-            },
-            "para": {
-                "means": jnp.concatenate(mu_list, axis=-1),
-                "scales": jnp.concatenate(scale_list, axis=-1),
-                "y": y,
-            },
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+            "para": {"means": means, "scales": scales, "y": y},
         }
 
     # ------------------------------------------------------------------
@@ -222,9 +233,15 @@ class DCAE(nn.Module):
                                                         y_hat_slice)
             y_hat_slices.append(y_hat_slice)
 
+        y_symbols = jnp.stack(sym_list)
+        # int16 copy for the (bandwidth-limited) host fetch; the int32
+        # original is only pulled when a symbol overflows int16 (pathological
+        # inputs / untrained params)
         return {
             "z_symbols": z_symbols,
-            "y_symbols": jnp.stack(sym_list),
+            "y_symbols": y_symbols,
+            "y_symbols16": y_symbols.astype(jnp.int16),
+            "y_overflow": jnp.any(jnp.abs(y_symbols) > 32767),
             "y_indexes": jnp.stack(idx_list),
         }
 
