@@ -107,6 +107,11 @@ class DCAECodec:
         self._synthesis = jax.jit(
             lambda p, y_hat: model.apply(
                 {"params": p}, y_hat, method=DCAE.decode_synthesis))
+        self._g_a = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, method=DCAE.analysis))
+        self._latent_dec = jax.jit(
+            lambda p, y: model.apply(
+                {"params": p}, y, method=DCAE.latent_decompress))
         self._aux = jax.jit(
             lambda p: model.apply({"params": p}, method=DCAE.aux_loss))
 
@@ -167,9 +172,34 @@ class DCAECodec:
                 t.factorized.offset), range(B)))
 
     def _compress_fused(self, x) -> dict:
+        out = self._encode(self.params, jnp.asarray(x, jnp.float32),
+                           jnp.asarray(self._scale_table))
+        return self._finish_fused(out)
+
+    def compress_many(self, batches: Sequence, fused: Optional[bool] = None
+                      ) -> List[dict]:
+        """Pipelined multi-batch encode: the device program for batch n+1 is
+        dispatched (async) before the host entropy-codes batch n, hiding the
+        host coding + fetch behind device compute."""
+        if fused is None:
+            fused = self.fused_encode
+        if not fused:
+            return [self.compress(x, fused=False) for x in batches]
+        st = jnp.asarray(self._scale_table)
+        results: List[dict] = []
+        pending = None
+        for x in list(batches) + [None]:
+            out = None
+            if x is not None:
+                out = self._encode(self.params, jnp.asarray(x, jnp.float32),
+                                   st)  # async dispatch
+            if pending is not None:
+                results.append(self._finish_fused(pending))
+            pending = out
+        return results
+
+    def _finish_fused(self, out) -> dict:
         t = self._require_tables()
-        x = jnp.asarray(x, jnp.float32)
-        out = self._encode(self.params, x, jnp.asarray(self._scale_table))
         z_sym = np.asarray(jax.device_get(out["z_symbols"]))  # (B,zh,zw,C)
         if bool(out["y_overflow"]):
             y_sym = np.asarray(jax.device_get(out["y_symbols"]))
@@ -231,6 +261,37 @@ class DCAECodec:
             t.gaussian.quantized_cdf, t.gaussian.cdf_length,
             t.gaussian.offset) for b in range(B)]
         return {"strings": [y_strings, z_strings], "shape": (zh, zw)}
+
+    def compress_latent(self, x) -> np.ndarray:
+        """Latent-handoff encode (ref DCAE_4 compress, models/dcae_4.py:728):
+        ship raw y instead of a bitstream (no entropy coding)."""
+        return np.asarray(jax.device_get(
+            self._g_a(self.params, jnp.asarray(x, jnp.float32))))
+
+    def decompress_latent(self, y) -> dict:
+        """Latent-handoff decode; see DCAE.latent_decompress."""
+        return {"x_hat": self._latent_dec(self.params, jnp.asarray(y))}
+
+    def analyze_sizes(self, x) -> dict:
+        """Byte accounting of codec payloads vs raw tensors (ref eval.py
+        analyze_data_size mode, eval.py:3341) + model size."""
+        x = np.asarray(x)
+        enc = self.compress(x)
+        y = self.compress_latent(x)
+        strings_bytes = sum(len(s) for grp in enc["strings"] for s in grp)
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree.leaves(self.params))
+        return {
+            "image_bytes_uint8": int(np.prod(x.shape)),
+            "y_string_bytes": sum(len(s) for s in enc["strings"][0]),
+            "z_string_bytes": sum(len(s) for s in enc["strings"][1]),
+            "total_stream_bytes": strings_bytes,
+            "raw_latent_bytes_f32": int(np.prod(y.shape) * 4),
+            "raw_latent_bytes_bf16": int(np.prod(y.shape) * 2),
+            "stream_vs_image_ratio": float(np.prod(x.shape)) / strings_bytes,
+            "model_params": n_params,
+            "model_bytes_f32": n_params * 4,
+        }
 
     def self_check(self, image=None) -> bool:
         """Compress one image with both encoder modes; if the streams match,

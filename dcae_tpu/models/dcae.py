@@ -308,3 +308,28 @@ class DCAE(nn.Module):
 
     def decode_synthesis(self, y_hat: jax.Array) -> jax.Array:
         return jnp.clip(self.g_s(y_hat).astype(jnp.float32), 0.0, 1.0)
+
+    def latent_decompress(self, y: jax.Array) -> jax.Array:
+        """Latent-handoff decode (ref DCAE_4, models/dcae_4.py:867-918):
+        the 'bitstream' is the raw latent y; z is re-derived on the decoder,
+        and each slice is re-quantized against its own context. One fused
+        device program."""
+        cfg = self.cfg
+        B, y_h, y_w, _ = y.shape
+        y = y.astype(jnp.float32)
+        z = self.h_a(y).astype(jnp.float32)
+        medians = self.eb_medians().reshape(1, 1, 1, -1)
+        z_hat = jnp.round(z - medians) + medians
+        latent_scales, latent_means = self.hyper_synthesis(z_hat)
+
+        y_slices = jnp.split(y, cfg.num_slices, axis=-1)
+        y_hat_slices: List[jax.Array] = []
+        for i, y_slice in enumerate(y_slices):
+            support, mu, _ = self._slice_context(
+                i, latent_scales, latent_means, y_hat_slices, y_h, y_w)
+            y_hat_slice = jnp.round(y_slice - mu) + mu
+            y_hat_slice = y_hat_slice + self._slice_lrp(i, support,
+                                                        y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        return jnp.clip(self.g_s(y_hat).astype(jnp.float32), 0.0, 1.0)

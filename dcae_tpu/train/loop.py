@@ -49,6 +49,7 @@ class TrainOptions:
     sp: int = 1                      # spatial mesh axis
     drift_noise: float = 0.0
     log_every: int = 100
+    use_wandb: bool = False
 
 
 def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
@@ -91,6 +92,10 @@ def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
                 state, step=jnp.asarray(last_epoch * steps_per_epoch,
                                         jnp.int32))
 
+    from dcae_tpu.utils.logging import MetricLogger
+    logger = MetricLogger(opts.save_path, use_wandb=opts.use_wandb,
+                          wandb_config=dataclasses.asdict(opts))
+
     device_mesh = pmesh.make_mesh(sp=opts.sp)
     train_step = pmesh.shard_train_step(
         make_train_step(model, tx, opts.lmbda, opts.loss_type), device_mesh)
@@ -107,6 +112,7 @@ def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
             state, metrics = train_step(state, batch)
             if i % opts.log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
+                logger.log(epoch * steps_per_epoch + i, metrics)
                 for k in meters:
                     meters[k].update(metrics.get(k, 0.0))
                 dist_key = next(k for k in metrics if k.endswith("_loss")
@@ -124,9 +130,12 @@ def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
             m = eval_step(state.params, jax.device_put(batch, bshard))
             test_meter.update(float(m["loss"]), batch.shape[0])
         test_loss = test_meter.avg
+        logger.log((epoch + 1) * steps_per_epoch, {"loss": test_loss},
+                   namespace="val")
         print(f"epoch {epoch}: test loss {test_loss:.4f} "
               f"({time.time() - t0:.0f}s)")
 
         if opts.save:
             policy.save(jax.device_get(state), epoch + 1, test_loss)
+    logger.close()
     return state

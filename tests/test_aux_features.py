@@ -1,0 +1,96 @@
+"""Tests for auxiliary capabilities: latent-handoff codec, size analysis,
+BD-rate math, golden RD tables, metric logging, drift-diff harness."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dcae_tpu.data import rd_reference
+from dcae_tpu.utils.logging import MetricLogger
+
+
+class TestBDRate:
+    def test_identical_curves_zero(self):
+        bpp = [0.8, 0.4, 0.2, 0.1]
+        psnr = [38.0, 35.0, 32.0, 29.0]
+        assert abs(rd_reference.bd_rate(bpp, psnr, bpp, psnr)) < 1e-9
+
+    def test_half_rate_is_minus_fifty(self):
+        bpp = np.array([0.8, 0.4, 0.2, 0.1])
+        psnr = [38.0, 35.0, 32.0, 29.0]
+        got = rd_reference.bd_rate(bpp, psnr, bpp / 2, psnr)
+        assert abs(got - (-50.0)) < 1e-6
+
+    def test_golden_tables_shape(self):
+        for name, t in rd_reference.REFERENCE_RD.items():
+            assert len(t["bpp"]) == 6, name
+        assert len(rd_reference.MSE_LAMBDAS) == 6
+        # self-comparison is ~0
+        assert abs(rd_reference.compare_to_reference(
+            "Kodak", rd_reference.REFERENCE_RD["Kodak"]["bpp"],
+            rd_reference.REFERENCE_RD["Kodak"]["psnr"])) < 1e-9
+
+
+class TestMetricLogger:
+    def test_jsonl_sink(self, tmp_path):
+        logger = MetricLogger(str(tmp_path), run_name="t")
+        logger.log(0, {"loss": 1.5, "bpp_loss": 0.2})
+        logger.log(100, {"loss": 1.0}, namespace="val")
+        logger.close()
+        lines = [json.loads(l) for l in
+                 open(tmp_path / "t.jsonl").read().splitlines()]
+        assert lines[0]["loss"] == 1.5 and lines[0]["ns"] == "train"
+        assert lines[1]["ns"] == "val" and lines[1]["step"] == 100
+
+
+class TestLatentHandoff:
+    @pytest.fixture(scope="class")
+    def codec(self):
+        from dcae_tpu.config import DCAEConfig
+        from dcae_tpu.models import DCAECodec
+
+        c = DCAECodec(DCAEConfig.tiny(), seed=0)
+        c.update(force=True)
+        return c
+
+    def test_latent_round_trip(self, codec):
+        rng = np.random.default_rng(100)
+        p = codec.cfg.pad_multiple
+        x = rng.uniform(0, 1, (1, p, p, 3)).astype(np.float32)
+        y = codec.compress_latent(x)
+        assert y.shape == (1, p // 16, p // 16, codec.cfg.M)
+        out = codec.decompress_latent(y)
+        x_hat = np.asarray(out["x_hat"])
+        assert x_hat.shape == x.shape
+        assert np.all(x_hat >= 0) and np.all(x_hat <= 1)
+
+    def test_size_analysis(self, codec):
+        rng = np.random.default_rng(0)
+        p = codec.cfg.pad_multiple
+        x = rng.uniform(0, 1, (1, p, p, 3)).astype(np.float32)
+        report = codec.analyze_sizes(x)
+        assert report["total_stream_bytes"] == (
+            report["y_string_bytes"] + report["z_string_bytes"])
+        assert report["model_params"] > 0
+        assert report["raw_latent_bytes_bf16"] * 2 == \
+            report["raw_latent_bytes_f32"]
+
+
+class TestDriftHarness:
+    def test_dump_and_compare_self(self, tmp_path):
+        from dcae_tpu.config import DCAEConfig
+        from dcae_tpu.models import DCAECodec
+        from dcae_tpu.utils import debug
+
+        codec = DCAECodec(DCAEConfig.tiny(), seed=0)
+        codec.update(force=True)
+        rng = np.random.default_rng(1)
+        p = codec.cfg.pad_multiple
+        x = rng.uniform(0, 1, (1, p, p, 3)).astype(np.float32)
+        debug.dump_codec_run(codec, x, str(tmp_path), "run_a")
+        debug.dump_codec_run(codec, x, str(tmp_path), "run_b")
+        report = debug.compare_dumps(str(tmp_path), "run_a", "run_b")
+        assert report, "dump should contain tensors"
+        assert all(e.get("equal") for e in report.values()), report

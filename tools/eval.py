@@ -20,6 +20,10 @@ def main(argv=None):
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--real", action="store_true",
                    help="entropy-coded round trip (default: forward-only)")
+    p.add_argument("--mode", type=str, default="both",
+                   choices=["both", "size_analysis"],
+                   help="size_analysis: payload/model byte accounting "
+                        "(ref eval.py analyze_data_size)")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny config (tests/smoke)")
@@ -30,6 +34,20 @@ def main(argv=None):
     if a.checkpoint:
         codec.params = load_params_only(a.checkpoint, codec.params)
         codec.tables = load_tables(a.checkpoint)
+    if a.mode == "size_analysis":
+        import json
+
+        import jax.numpy as jnp
+
+        from dcae_tpu.data.datasets import list_images, load_image
+        from dcae_tpu.ops.layers import pad_spatial
+
+        codec.update()
+        path = list_images(a.data)[0]
+        x = load_image(path)[None]
+        padded, _ = pad_spatial(jnp.asarray(x), cfg.pad_multiple)
+        print(json.dumps(codec.analyze_sizes(padded), indent=2))
+        return
     if a.real:
         codec.update()  # no-op when tables came with the checkpoint
     eval_directory(codec, a.data, real=a.real, limit=a.limit)
