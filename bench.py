@@ -40,8 +40,8 @@ def main():
 
     import os
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     cfg = DCAEConfig(
         compute_dtype=os.environ.get("DCAE_BENCH_DTYPE", "float32"))

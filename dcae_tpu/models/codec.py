@@ -306,10 +306,25 @@ class DCAECodec:
         self.fused_encode = staged["strings"] == fused["strings"]
         return self.fused_encode
 
+    def compress_with_indexes(self, x) -> dict:
+        """Fused compress that additionally returns the encoder's coding
+        indexes (ref DCAE_6, models/dcae_6.py:760-778): ship them with the
+        stream so the decoder can skip/validate its own sigma->index
+        recomputation when hunting cross-device drift."""
+        out = self._encode(self.params, jnp.asarray(x, jnp.float32),
+                           jnp.asarray(self._scale_table))
+        result = self._finish_fused(out)
+        result["indexes"] = np.asarray(jax.device_get(out["y_indexes"]))
+        return result
+
     def decompress(self, strings: Sequence[Sequence[bytes]],
-                   shape: Tuple[int, int]) -> dict:
+                   shape: Tuple[int, int], indexes=None) -> dict:
         """strings: [y_strings, z_strings]; shape: (zh, zw) of z.
-        Returns {"x_hat": (B,H,W,3) in [0,1]}."""
+        Returns {"x_hat": (B,H,W,3) in [0,1]}.
+
+        indexes (optional): encoder-shipped per-slice coding indexes
+        (S,B,yh,yw,c) — used instead of the locally recomputed ones
+        (DCAE_6 table-shipping semantics)."""
         t = self._require_tables()
         y_strings, z_strings = strings
         B = len(z_strings)
@@ -345,21 +360,25 @@ class DCAECodec:
                 t.gaussian.cdf_length, t.gaussian.offset)
             return _unflatten_chw(flat, y_h, y_w, sd)
 
-        def host_decode(indexes) -> np.ndarray:
-            idx_np = np.asarray(jax.device_get(indexes)).astype(np.int32)
+        def host_decode(slice_index: int, local_indexes) -> np.ndarray:
+            if indexes is not None:  # encoder-shipped (DCAE_6 mode)
+                idx_np = np.asarray(indexes[slice_index]).astype(np.int32)
+            else:
+                idx_np = np.asarray(
+                    jax.device_get(local_indexes)).astype(np.int32)
             parts = self._pool.map(lambda b: decode_one(b, idx_np[b]),
                                    range(B))
             return np.stack(list(parts))
 
-        ls, lm, support, mu, indexes = self._start(
+        ls, lm, support, mu, local_idx = self._start(
             self.params, jnp.asarray(z_hat), st)
         y_hat = jnp.zeros((B, y_h, y_w, 0), jnp.float32)
         for i in range(1, self.cfg.num_slices):
-            symbols = host_decode(indexes)
-            y_hat, support, mu, indexes = self._step(
+            symbols = host_decode(i - 1, local_idx)
+            y_hat, support, mu, local_idx = self._step(
                 i, self.params, ls, lm, y_hat, support, mu,
                 jnp.asarray(symbols, jnp.float32), st)
-        symbols = host_decode(indexes)
+        symbols = host_decode(self.cfg.num_slices - 1, local_idx)
         x_hat = self._end(self.params, y_hat, support, mu,
                           jnp.asarray(symbols, jnp.float32))
         return {"x_hat": x_hat}

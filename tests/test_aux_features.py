@@ -66,6 +66,19 @@ class TestLatentHandoff:
         assert x_hat.shape == x.shape
         assert np.all(x_hat >= 0) and np.all(x_hat <= 1)
 
+    def test_shipped_indexes_decode(self, codec):
+        """DCAE_6-style decode with encoder-shipped indexes must equal the
+        locally recomputed decode."""
+        rng = np.random.default_rng(2)
+        p = codec.cfg.pad_multiple
+        x = rng.uniform(0, 1, (1, p, p, 3)).astype(np.float32)
+        enc = codec.compress_with_indexes(x)
+        local = codec.decompress(enc["strings"], enc["shape"])
+        shipped = codec.decompress(enc["strings"], enc["shape"],
+                                   indexes=enc["indexes"])
+        np.testing.assert_allclose(np.asarray(local["x_hat"]),
+                                   np.asarray(shipped["x_hat"]), atol=1e-6)
+
     def test_size_analysis(self, codec):
         rng = np.random.default_rng(0)
         p = codec.cfg.pad_multiple
