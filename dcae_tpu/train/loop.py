@@ -96,7 +96,15 @@ def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
     logger = MetricLogger(opts.save_path, use_wandb=opts.use_wandb,
                           wandb_config=dataclasses.asdict(opts))
 
-    device_mesh = pmesh.make_mesh(sp=opts.sp)
+    # dp must divide the batch; shrink the mesh for small-batch runs
+    n_dev = len(jax.devices())
+    dp = max(1, n_dev // opts.sp)
+    while dp > 1 and opts.batch_size % dp != 0:
+        dp -= 1
+    device_mesh = pmesh.make_mesh(n_devices=dp * opts.sp, sp=opts.sp)
+    if dp * opts.sp < n_dev:
+        print(f"using {dp * opts.sp}/{n_dev} devices "
+              f"(batch {opts.batch_size} % dp)")
     train_step = pmesh.shard_train_step(
         make_train_step(model, tx, opts.lmbda, opts.loss_type), device_mesh)
     eval_step = pmesh.shard_eval_step(

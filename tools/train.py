@@ -44,6 +44,9 @@ def parse_args(argv):
                    help="spatial mesh axis size (dp = n_devices / sp)")
     p.add_argument("--drift_noise", type=float, default=0.0,
                    help="train drift-robust (reference dcae_7 variant)")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny config (smoke tests)")
     return p.parse_args(argv)
 
 
@@ -57,8 +60,13 @@ def main(argv=None):
         lr_epochs=tuple(a.lr_epoch), clip_max_norm=a.clip_max_norm,
         seed=a.seed, save=a.save, save_path=a.save_path,
         checkpoint=a.checkpoint, continue_train=a.continue_train,
-        num_workers=a.num_workers, sp=a.sp, drift_noise=a.drift_noise)
-    run_training(opts)
+        num_workers=a.num_workers, sp=a.sp, drift_noise=a.drift_noise,
+        use_wandb=a.wandb)
+    cfg = None
+    if a.tiny:
+        from dcae_tpu.config import DCAEConfig
+        cfg = DCAEConfig.tiny(drift_noise=a.drift_noise)
+    run_training(opts, cfg=cfg)
 
 
 if __name__ == "__main__":
