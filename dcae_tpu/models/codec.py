@@ -317,6 +317,88 @@ class DCAECodec:
         result["indexes"] = np.asarray(jax.device_get(out["y_indexes"]))
         return result
 
+    class _DecodeJob:
+        """One batch's decode as an explicit state machine so multiple
+        batches can interleave: while this job's host rANS runs, another
+        job's device step executes."""
+
+        def __init__(self, codec: "DCAECodec", strings, shape, indexes=None):
+            self.c = codec
+            t = codec._require_tables()
+            self.t = t
+            self.indexes = indexes
+            y_strings, z_strings = strings
+            self.B = len(z_strings)
+            zh, zw = int(shape[0]), int(shape[1])
+            C = codec.cfg.eb_channels
+            self.y_h, self.y_w = zh * 4, zw * 4
+            self.sd = codec.cfg.slice_dim
+            self.st = jnp.asarray(codec._scale_table)
+
+            z_index_flat = np.repeat(np.arange(C, dtype=np.int32), zh * zw)
+            z_hat = np.empty((self.B, zh, zw, C), np.float32)
+            for b in range(self.B):
+                sym = rans.decode_with_indexes(
+                    z_strings[b], z_index_flat, t.factorized.quantized_cdf,
+                    t.factorized.cdf_length, t.factorized.offset)
+                z_hat[b] = _unflatten_chw(sym.astype(np.float32), zh, zw, C)
+            # dequantize around the LIVE medians — exactly what the encoder's
+            # device graph used (baked copy may lag a training step)
+            medians = np.asarray(
+                codec.params["entropy_bottleneck"]["quantiles"])[:, 0, 1]
+            z_hat = z_hat + medians.reshape(1, 1, 1, C)
+
+            self.decoders = []
+            for b in range(self.B):
+                d = rans.RansDecoder()
+                d.set_stream(y_strings[b])
+                self.decoders.append(d)
+
+            # async dispatch of the first device stage
+            (self.ls, self.lm, self.support, self.mu,
+             self.local_idx) = codec._start(codec.params,
+                                            jnp.asarray(z_hat), self.st)
+            self.y_hat = jnp.zeros((self.B, self.y_h, self.y_w, 0),
+                                   jnp.float32)
+            self.slice_index = 0
+            self.x_hat = None
+
+        def _host_decode(self) -> np.ndarray:
+            if self.indexes is not None:  # encoder-shipped (DCAE_6 mode)
+                idx_np = np.asarray(
+                    self.indexes[self.slice_index]).astype(np.int32)
+            else:
+                idx_np = np.asarray(
+                    jax.device_get(self.local_idx)).astype(np.int32)
+
+            def decode_one(b: int) -> np.ndarray:
+                flat = self.decoders[b].decode_stream(
+                    _nchw_flat(idx_np[b]), self.t.gaussian.quantized_cdf,
+                    self.t.gaussian.cdf_length, self.t.gaussian.offset)
+                return _unflatten_chw(flat, self.y_h, self.y_w, self.sd)
+
+            return np.stack(list(self.c._pool.map(decode_one,
+                                                  range(self.B))))
+
+        def advance(self) -> bool:
+            """One pipeline tick: host-decode the current slice's symbols
+            (syncs on this job only) and async-dispatch the next device
+            stage. Returns False when done."""
+            if self.x_hat is not None:
+                return False
+            symbols = jnp.asarray(self._host_decode(), jnp.float32)
+            i = self.slice_index + 1
+            if i < self.c.cfg.num_slices:
+                (self.y_hat, self.support, self.mu,
+                 self.local_idx) = self.c._step(
+                    i, self.c.params, self.ls, self.lm, self.y_hat,
+                    self.support, self.mu, symbols, self.st)
+                self.slice_index = i
+                return True
+            self.x_hat = self.c._end(self.c.params, self.y_hat,
+                                     self.support, self.mu, symbols)
+            return False
+
     def decompress(self, strings: Sequence[Sequence[bytes]],
                    shape: Tuple[int, int], indexes=None) -> dict:
         """strings: [y_strings, z_strings]; shape: (zh, zw) of z.
@@ -325,60 +407,28 @@ class DCAECodec:
         indexes (optional): encoder-shipped per-slice coding indexes
         (S,B,yh,yw,c) — used instead of the locally recomputed ones
         (DCAE_6 table-shipping semantics)."""
-        t = self._require_tables()
-        y_strings, z_strings = strings
-        B = len(z_strings)
-        zh, zw = int(shape[0]), int(shape[1])
-        C = self.cfg.eb_channels
+        job = self._DecodeJob(self, strings, shape, indexes)
+        while job.advance():
+            pass
+        return {"x_hat": job.x_hat}
 
-        z_index_flat = np.repeat(np.arange(C, dtype=np.int32), zh * zw)
-        z_hat = np.empty((B, zh, zw, C), np.float32)
-        for b in range(B):
-            sym = rans.decode_with_indexes(
-                z_strings[b], z_index_flat, t.factorized.quantized_cdf,
-                t.factorized.cdf_length, t.factorized.offset)
-            z_hat[b] = _unflatten_chw(sym.astype(np.float32), zh, zw, C)
-        # dequantize around the LIVE medians — the exact values the encoder's
-        # device graph used (tables' baked copy may lag a training step)
-        medians = np.asarray(
-            self.params["entropy_bottleneck"]["quantiles"])[:, 0, 1]
-        z_hat = z_hat + medians.reshape(1, 1, 1, C)
-
-        y_h, y_w = zh * 4, zw * 4
-        sd = self.cfg.slice_dim
-        st = jnp.asarray(self._scale_table)
-
-        decoders = []
-        for b in range(B):
-            d = rans.RansDecoder()
-            d.set_stream(y_strings[b])
-            decoders.append(d)
-
-        def decode_one(b: int, idx_np: np.ndarray) -> np.ndarray:
-            flat = decoders[b].decode_stream(
-                _nchw_flat(idx_np), t.gaussian.quantized_cdf,
-                t.gaussian.cdf_length, t.gaussian.offset)
-            return _unflatten_chw(flat, y_h, y_w, sd)
-
-        def host_decode(slice_index: int, local_indexes) -> np.ndarray:
-            if indexes is not None:  # encoder-shipped (DCAE_6 mode)
-                idx_np = np.asarray(indexes[slice_index]).astype(np.int32)
-            else:
-                idx_np = np.asarray(
-                    jax.device_get(local_indexes)).astype(np.int32)
-            parts = self._pool.map(lambda b: decode_one(b, idx_np[b]),
-                                   range(B))
-            return np.stack(list(parts))
-
-        ls, lm, support, mu, local_idx = self._start(
-            self.params, jnp.asarray(z_hat), st)
-        y_hat = jnp.zeros((B, y_h, y_w, 0), jnp.float32)
-        for i in range(1, self.cfg.num_slices):
-            symbols = host_decode(i - 1, local_idx)
-            y_hat, support, mu, local_idx = self._step(
-                i, self.params, ls, lm, y_hat, support, mu,
-                jnp.asarray(symbols, jnp.float32), st)
-        symbols = host_decode(self.cfg.num_slices - 1, local_idx)
-        x_hat = self._end(self.params, y_hat, support, mu,
-                          jnp.asarray(symbols, jnp.float32))
-        return {"x_hat": x_hat}
+    def decompress_many(self, jobs: Sequence, interleave: int = 2
+                        ) -> List[dict]:
+        """Interleaved decode of multiple (strings, shape) jobs: one job's
+        host entropy decode overlaps another's device step, hiding the
+        per-sync round-trip floor of the channel-AR loop."""
+        results: List[Optional[dict]] = [None] * len(jobs)
+        pending = list(enumerate(jobs))
+        active: List[Tuple[int, DCAECodec._DecodeJob]] = []
+        while pending or active:
+            while pending and len(active) < interleave:
+                idx, (strings, shape) = pending.pop(0)
+                active.append((idx, self._DecodeJob(self, strings, shape)))
+            next_active = []
+            for idx, job in active:
+                if job.advance():
+                    next_active.append((idx, job))
+                else:
+                    results[idx] = {"x_hat": job.x_hat}
+            active = next_active
+        return results  # type: ignore[return-value]

@@ -50,6 +50,8 @@ class TrainOptions:
     drift_noise: float = 0.0
     log_every: int = 100
     use_wandb: bool = False
+    # e.g. ("g_a", "h_a") = encoder-only fine-tuning (ref train_fine_tune)
+    freeze_except: Optional[Tuple[str, ...]] = None
 
 
 def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
@@ -74,7 +76,8 @@ def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
 
     schedule = multistep_lr(
         opts.learning_rate, [m * steps_per_epoch for m in opts.lr_epochs])
-    tx = make_optimizer(schedule, opts.aux_learning_rate, opts.clip_max_norm)
+    tx = make_optimizer(schedule, opts.aux_learning_rate, opts.clip_max_norm,
+                        trainable_keys=opts.freeze_except)
     state = create_train_state(params, tx, state_rng)
 
     last_epoch = 0

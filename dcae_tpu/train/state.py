@@ -43,14 +43,39 @@ def multistep_lr(base_lr: float, milestones_steps: Sequence[int],
 
 
 def make_optimizer(learning_rate, aux_learning_rate: float = 1e-3,
-                   clip_max_norm: float = 1.0) -> optax.GradientTransformation:
+                   clip_max_norm: float = 1.0,
+                   trainable_keys: Sequence[str] | None = None
+                   ) -> optax.GradientTransformation:
+    """Dual optimizer; optionally freeze all top-level subtrees NOT in
+    trainable_keys (the reference's encoder-only fine-tuning freezes
+    everything but g_a/h_a to close the split-deployment drift gap,
+    ref train_fine_tune.py:552-570)."""
     main = optax.chain(
         optax.clip_by_global_norm(clip_max_norm) if clip_max_norm > 0
         else optax.identity(),
         optax.adam(learning_rate),
     )
     aux = optax.adam(aux_learning_rate)
-    return optax.multi_transform({"main": main, "aux": aux}, param_labels)
+
+    if trainable_keys is None:
+        return optax.multi_transform({"main": main, "aux": aux},
+                                     param_labels)
+
+    keep = set(trainable_keys)
+
+    def labels(params):
+        def label(path, _):
+            top = path[0].key if hasattr(path[0], "key") else str(path[0])
+            if top not in keep:
+                return "frozen"
+            if "quantiles" in jax.tree_util.keystr(path):
+                return "aux"
+            return "main"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.multi_transform(
+        {"main": main, "aux": aux, "frozen": optax.set_to_zero()}, labels)
 
 
 def create_train_state(params, tx: optax.GradientTransformation,

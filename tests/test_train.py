@@ -70,6 +70,24 @@ class TestTrainStep:
         assert not np.allclose(q0, q1)
         assert int(new_state.step) == 1
 
+    def test_encoder_only_finetune_freezes_decoder(self, setup):
+        """--finetune_encoder parity: only g_a/h_a move (ref
+        train_fine_tune.py freeze_decompress_and_shared_components)."""
+        cfg, model, params, batch = setup
+        tx = make_optimizer(1e-4, 1e-3, trainable_keys=("g_a", "h_a"))
+        state = create_train_state(params, tx, jax.random.PRNGKey(2))
+        step = jax.jit(make_train_step(model, tx, lmbda=0.013))
+        new_state, _ = step(state, batch)
+        moved = np.asarray(
+            new_state.params["g_a"]["down0"]["down"]["conv"]["kernel"])
+        assert not np.allclose(
+            moved,
+            np.asarray(params["g_a"]["down0"]["down"]["conv"]["kernel"]))
+        for key in ("g_s", "h_z_s1", "dt", "entropy_bottleneck"):
+            for a, b in zip(jax.tree.leaves(params[key]),
+                            jax.tree.leaves(new_state.params[key])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_eval_step(self, setup):
         cfg, model, params, batch = setup
         mesh = pmesh.make_mesh(sp=1)

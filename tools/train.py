@@ -45,6 +45,9 @@ def parse_args(argv):
     p.add_argument("--drift_noise", type=float, default=0.0,
                    help="train drift-robust (reference dcae_7 variant)")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--finetune_encoder", action="store_true",
+                   help="freeze everything but g_a/h_a (encoder-only "
+                        "fine-tuning, ref train_fine_tune.py)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config (smoke tests)")
     return p.parse_args(argv)
@@ -61,7 +64,8 @@ def main(argv=None):
         seed=a.seed, save=a.save, save_path=a.save_path,
         checkpoint=a.checkpoint, continue_train=a.continue_train,
         num_workers=a.num_workers, sp=a.sp, drift_noise=a.drift_noise,
-        use_wandb=a.wandb)
+        use_wandb=a.wandb,
+        freeze_except=("g_a", "h_a") if a.finetune_encoder else None)
     cfg = None
     if a.tiny:
         from dcae_tpu.config import DCAEConfig
