@@ -140,6 +140,18 @@ class TestRealCodec:
         assert staged["strings"] == fused["strings"]
         assert tiny_codec.self_check(image) is True
 
+    def test_decompress_many_interleaved(self, tiny_codec, image):
+        """Interleaved multi-job decode must equal per-job decode."""
+        imgs = [image, np.clip(1.0 - image, 0, 1)]
+        encs = codec_encs = [tiny_codec.compress(x) for x in imgs]
+        want = [np.asarray(tiny_codec.decompress(e["strings"],
+                                                 e["shape"])["x_hat"])
+                for e in encs]
+        got = tiny_codec.decompress_many(
+            [(e["strings"], e["shape"]) for e in codec_encs])
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(np.asarray(g["x_hat"]), w, atol=1e-6)
+
     def test_update_required(self):
         codec = DCAECodec(DCAEConfig.tiny(), seed=1)
         with pytest.raises(RuntimeError):
