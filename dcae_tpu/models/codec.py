@@ -176,15 +176,16 @@ class DCAECodec:
                            jnp.asarray(self._scale_table))
         return self._finish_fused(out)
 
-    def compress_many(self, batches: Sequence, fused: Optional[bool] = None
-                      ) -> List[dict]:
-        """Pipelined multi-batch encode: the device program for batch n+1 is
-        dispatched (async) before the host entropy-codes batch n, hiding the
-        host coding + fetch behind device compute."""
+    def compress_many(self, batches: Sequence, fused: Optional[bool] = None,
+                      pipeline: bool = False) -> List[dict]:
+        """Multi-batch encode. pipeline=True dispatches batch n+1's device
+        program before host-coding batch n — a win on dedicated hardware,
+        but measurably harmful on contended/time-shared chips (overlapping
+        dispatch queues serialize badly), so it is opt-in."""
         if fused is None:
             fused = self.fused_encode
-        if not fused:
-            return [self.compress(x, fused=False) for x in batches]
+        if not fused or not pipeline:
+            return [self.compress(x, fused=fused) for x in batches]
         st = jnp.asarray(self._scale_table)
         results: List[dict] = []
         pending = None
