@@ -102,7 +102,10 @@ class WMSA(nn.Module):
     """Swin window multi-head self-attention ('W' or shifted 'SW').
     (ref models/dcae.py:225-298)
 
-    x: (B, H, W, C) with H, W divisible by window_size.
+    x: (B, H, W, C) with H, W divisible by window_size. Two compute paths
+    over the same parameters: the default XLA einsum path, and a fused
+    Pallas kernel (qkv + attention + proj resident in VMEM) enabled with
+    DCAE_PALLAS=1 on TPU backends.
     """
     head_dim: int
     window_size: int
@@ -111,6 +114,8 @@ class WMSA(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
         w = self.window_size
         B, H, W, C = x.shape
         assert H % w == 0 and W % w == 0, (H, W, w)
@@ -119,6 +124,21 @@ class WMSA(nn.Module):
 
         rel_table = self.param("relative_position", layers.trunc_normal(0.02),
                                (heads, 2 * w - 1, 2 * w - 1))
+        qkv_kernel = self.param("qkv_kernel",
+                                layers.fan_in_uniform(C), (C, 3 * C))
+        qkv_bias = self.param("qkv_bias", layers.fan_in_uniform(C), (3 * C,))
+        proj_kernel = self.param("proj_kernel",
+                                 layers.fan_in_uniform(C), (C, C))
+        proj_bias = self.param("proj_bias", layers.fan_in_uniform(C), (C,))
+
+        if os.environ.get("DCAE_PALLAS") == "1":
+            from dcae_tpu.ops.pallas.wmsa import fused_wmsa
+
+            dummy = jnp.zeros((C,), jnp.float32)
+            return fused_wmsa(
+                x, dummy, dummy, qkv_kernel, qkv_bias, proj_kernel,
+                proj_bias, rel_table, window=w, heads=heads,
+                shifted=self.shifted).astype(x.dtype)
 
         if self.shifted:
             x = jnp.roll(x, shift=(-(w // 2), -(w // 2)), axis=(1, 2))
@@ -127,7 +147,10 @@ class WMSA(nn.Module):
         xw = x.reshape(B, nh, w, nw, w, C).transpose(0, 1, 3, 2, 4, 5)
         xw = xw.reshape(B, nh * nw, w * w, C)
 
-        qkv = Dense(3 * C, dtype=self.dtype, name="qkv")(xw)
+        dt = self.dtype or x.dtype
+        qkv = (jnp.dot(xw.astype(dt), qkv_kernel.astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt)
+               + qkv_bias.astype(dt))
         qkv = qkv.reshape(B, nh * nw, w * w, 3, heads, self.head_dim)
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
 
@@ -147,7 +170,9 @@ class WMSA(nn.Module):
                          preferred_element_type=jnp.float32)
         out = out.astype(x.dtype).reshape(B, nh * nw, w * w, C)
         # reference packs heads head-major: channel = h*head_dim + d
-        out = Dense(C, dtype=self.dtype, name="proj")(out)
+        out = (jnp.dot(out.astype(dt), proj_kernel.astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt)
+               + proj_bias.astype(dt)).astype(x.dtype)
 
         out = out.reshape(B, nh, nw, w, w, C).transpose(0, 1, 3, 2, 4, 5)
         out = out.reshape(B, H, W, C)

@@ -120,8 +120,14 @@ class _Mapper:
         self.deconv(f"{src}.conv", dst + ("up",))
 
     def wmsa(self, src: str, dst: Tuple[str, ...]) -> None:
-        self.linear(f"{src}.embedding_layer", dst + ("qkv",))
-        self.linear(f"{src}.linear", dst + ("proj",))
+        # WMSA holds raw (in, out) kernels (shared by einsum + Pallas paths)
+        _set(self.out, dst + ("qkv_kernel",),
+             t_linear(self.take(f"{src}.embedding_layer.weight")))
+        _set(self.out, dst + ("qkv_bias",),
+             self.take(f"{src}.embedding_layer.bias"))
+        _set(self.out, dst + ("proj_kernel",),
+             t_linear(self.take(f"{src}.linear.weight")))
+        _set(self.out, dst + ("proj_bias",), self.take(f"{src}.linear.bias"))
         self.raw(f"{src}.relative_position_params",
                  dst + ("relative_position",))
 

@@ -96,10 +96,10 @@ class TestWMSA:
         m = WMSA(head_dim=head_dim, window_size=window, shifted=shifted)
         variables, y = init_and_apply(m, jnp.array(x))
         p = variables["params"]
-        qkv_w = np.asarray(p["qkv"]["dense"]["kernel"]).T  # torch (3C, C)
-        qkv_b = np.asarray(p["qkv"]["dense"]["bias"])
-        proj_w = np.asarray(p["proj"]["dense"]["kernel"]).T
-        proj_b = np.asarray(p["proj"]["dense"]["bias"])
+        qkv_w = np.asarray(p["qkv_kernel"]).T  # torch (3C, C)
+        qkv_b = np.asarray(p["qkv_bias"])
+        proj_w = np.asarray(p["proj_kernel"]).T
+        proj_b = np.asarray(p["proj_bias"])
         rel = np.asarray(p["relative_position"])
         want = oracle.torch_wmsa(x, qkv_w, qkv_b, proj_w, proj_b, rel,
                                  head_dim, window, shifted)

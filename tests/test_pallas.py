@@ -1,0 +1,45 @@
+"""Fused Pallas window-attention: numerics vs the einsum path (interpret
+mode on the CPU backend)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dcae_tpu.ops.blocks import WMSA
+from dcae_tpu.ops.pallas.wmsa import fused_wmsa
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_fused_wmsa_matches_einsum(shifted, rng):
+    window, head_dim, C = 4, 8, 16
+    heads = C // head_dim
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 12, C)).astype(np.float32))
+
+    m = WMSA(head_dim=head_dim, window_size=window, shifted=shifted)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(m.apply(variables, x))
+
+    p = variables["params"]
+    dummy = jnp.zeros((C,), jnp.float32)
+    got = fused_wmsa(
+        x, dummy, dummy, p["qkv_kernel"], p["qkv_bias"], p["proj_kernel"],
+        p["proj_bias"], p["relative_position"], window=window, heads=heads,
+        shifted=shifted, tile_w=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_fused_wmsa_tile_padding(rng):
+    """Window count not divisible by the tile must still be exact."""
+    window, head_dim, C = 4, 8, 16
+    x = jnp.asarray(rng.normal(0, 1, (1, 4, 12, C)).astype(np.float32))
+    m = WMSA(head_dim=head_dim, window_size=window, shifted=False)
+    variables = m.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(m.apply(variables, x))
+    p = variables["params"]
+    dummy = jnp.zeros((C,), jnp.float32)
+    got = fused_wmsa(
+        x, dummy, dummy, p["qkv_kernel"], p["qkv_bias"], p["proj_kernel"],
+        p["proj_bias"], p["relative_position"], window=window,
+        heads=C // head_dim, shifted=False, tile_w=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)

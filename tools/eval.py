@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny config (tests/smoke)")
+    p.add_argument("--bd_dataset", type=str, default=None,
+                   choices=["Kodak", "CLIC", "Tecnick", "Kodak-msssim"],
+                   help="print the golden RD curve for comparison")
     a = p.parse_args(argv)
 
     cfg = DCAEConfig.tiny() if a.tiny else DCAEConfig()
@@ -50,7 +53,18 @@ def main(argv=None):
         return
     if a.real:
         codec.update()  # no-op when tables came with the checkpoint
-    eval_directory(codec, a.data, real=a.real, limit=a.limit)
+    summary = eval_directory(codec, a.data, real=a.real, limit=a.limit)
+    if a.bd_dataset:
+        from dcae_tpu.data.rd_reference import REFERENCE_RD
+        golden = REFERENCE_RD[a.bd_dataset]
+        print(f"golden {a.bd_dataset} RD (6 lambdas): "
+              f"bpp {golden['bpp']} / "
+              f"{'psnr' if 'psnr' in golden else 'msssim_db'} "
+              f"{golden.get('psnr', golden.get('msssim_db'))}")
+        print(f"this checkpoint: bpp {summary['bpp']:.4f} "
+              f"psnr {summary['psnr']:.3f} dB — collect all 6 lambda "
+              f"checkpoints and use dcae_tpu.data.rd_reference."
+              f"compare_to_reference for the BD-rate.")
 
 
 if __name__ == "__main__":
