@@ -131,14 +131,15 @@ class WMSA(nn.Module):
                                  layers.fan_in_uniform(C), (C, C))
         proj_bias = self.param("proj_bias", layers.fan_in_uniform(C), (C,))
 
-        if os.environ.get("DCAE_PALLAS") == "1":
-            from dcae_tpu.ops.pallas.wmsa import fused_wmsa
+        # Pallas path only where the lane padding (head_dim -> 128) is
+        # affordable: deep low-resolution stages (head_dim >= 32). Early
+        # high-res stages (head_dim 8/16) would blow HBM on padded q/k/v.
+        if (os.environ.get("DCAE_PALLAS") == "1" and self.head_dim >= 32):
+            from dcae_tpu.ops.pallas.wmsa_blockdiag import fused_wmsa_blockdiag
 
-            dummy = jnp.zeros((C,), jnp.float32)
-            return fused_wmsa(
-                x, dummy, dummy, qkv_kernel, qkv_bias, proj_kernel,
-                proj_bias, rel_table, window=w, heads=heads,
-                shifted=self.shifted).astype(x.dtype)
+            return fused_wmsa_blockdiag(
+                x, qkv_kernel, qkv_bias, proj_kernel, proj_bias, rel_table,
+                window=w, heads=heads, shifted=self.shifted).astype(x.dtype)
 
         if self.shifted:
             x = jnp.roll(x, shift=(-(w // 2), -(w // 2)), axis=(1, 2))
