@@ -92,10 +92,28 @@ class DCAEConfig:
         return self.query_dim(slice_index) + self.M
 
     @property
+    def y_downsample(self) -> int:
+        """Total stride of g_a (x -> y): one stride-2 per feature stage plus
+        the final conv (ref models/dcae.py:541-558)."""
+        return 2 ** (len(self.feature_dim) + 1)
+
+    @property
+    def z_downsample(self) -> int:
+        """Total stride of x -> z: g_a then h_a's two stride-2 layers
+        (ref models/dcae.py:560-566)."""
+        return self.y_downsample * self.hyper_ratio
+
+    @property
+    def hyper_ratio(self) -> int:
+        """Spatial ratio between y and z (h_a: RBBS stride 2 + conv stride
+        2); the decoder derives y's geometry as z_shape * hyper_ratio."""
+        return 4
+
+    @property
     def pad_multiple(self) -> int:
-        # g_a downsamples x16 and windows at y-resolution need divisibility
-        # by window_size: 16*8 = 128, matching the reference eval protocol.
-        return 16 * self.window_size
+        # windows at y-resolution need divisibility by window_size:
+        # 16*8 = 128, matching the reference eval protocol.
+        return self.y_downsample * self.window_size
 
     @classmethod
     def tiny(cls, **overrides) -> "DCAEConfig":

@@ -49,8 +49,14 @@ class DCAECodec:
 
     def __init__(self, cfg: DCAEConfig, params=None,
                  tables: Optional[CodecTables] = None,
-                 dtype=None, seed: int = 0):
+                 dtype=None, seed: int = 0, device=None):
+        """device: optional jax.Device to pin this codec's programs to
+        (the reference's DCAE_1 exposes explicit encode/decode device
+        placement, ref models/dcae_1.py:697-699,782-784; here placement is
+        per-codec — build one codec per device role). Params are committed
+        to the device; jitted programs follow their inputs' placement."""
         self.cfg = cfg
+        self.device = device
         if dtype is None and cfg.compute_dtype == "bfloat16":
             dtype = jnp.bfloat16
         self.model = DCAE(cfg, dtype=dtype)
@@ -59,6 +65,8 @@ class DCAECodec:
                                cfg.in_channels), jnp.float32)
             params = self.model.init(
                 {"params": jax.random.PRNGKey(seed)}, dummy)["params"]
+        if device is not None:
+            params = jax.device_put(params, device)
         self.params = params
         self.tables = tables
         self._scale_table = get_scale_table(cfg.scales_min, cfg.scales_max,
@@ -332,7 +340,8 @@ class DCAECodec:
             self.B = len(z_strings)
             zh, zw = int(shape[0]), int(shape[1])
             C = codec.cfg.eb_channels
-            self.y_h, self.y_w = zh * 4, zw * 4
+            r = codec.cfg.hyper_ratio
+            self.y_h, self.y_w = zh * r, zw * r
             self.sd = codec.cfg.slice_dim
             self.st = jnp.asarray(codec._scale_table)
 

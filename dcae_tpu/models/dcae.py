@@ -154,7 +154,7 @@ class DCAE(nn.Module):
                     training: bool = False):
         """Decoder-side training forward (hyper synthesis, dictionary
         context nets, g_s): consumes raw y + quantized z_hat, returns
-        (x_hat, y_likelihoods, means, scales).
+        (x_hat, y_likelihoods, means, scales, y_hat).
         (ref dcae_7 DecompressModel.forward, models/dcae_7.py:630-683)"""
         cfg = self.cfg
         B, y_h, y_w, _ = y.shape
@@ -182,17 +182,42 @@ class DCAE(nn.Module):
         x_hat = self.g_s(y_hat).astype(jnp.float32)
         return (x_hat, jnp.concatenate(y_likelihoods, axis=-1),
                 jnp.concatenate(mu_list, axis=-1),
-                jnp.concatenate(scale_list, axis=-1))
+                jnp.concatenate(scale_list, axis=-1), y_hat)
 
     def __call__(self, x: jax.Array, training: bool = False):
         y, z_hat, z_likelihoods = self.encode_half(x, training)
-        x_hat, y_likelihoods, means, scales = self.decode_half(
+        x_hat, y_likelihoods, means, scales, y_hat = self.decode_half(
             y, z_hat, training)
         return {
             "x_hat": x_hat,
             "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
-            "para": {"means": means, "scales": scales, "y": y},
+            # y_hat/z_hat are extra keys vs the reference contract (consumed
+            # by the precision-regularization pass, dcae_tpu.train.step)
+            "para": {"means": means, "scales": scales, "y": y,
+                     "y_hat": y_hat, "z_hat": z_hat},
         }
+
+    def decode_from_quantized(self, y_hat: jax.Array, z_hat: jax.Array
+                              ) -> jax.Array:
+        """Decoder-half training forward on an ALREADY-quantized latent: no
+        re-rounding; each received slice gets the LRP correction and feeds
+        the next slice's context. This is the reference split decoder's
+        training forward, used as the second pass of the
+        precision-regularization penalty (ref models/dcae_5.py:1759-1795,
+        train_5.py:3320-3337)."""
+        cfg = self.cfg
+        B, y_h, y_w, _ = y_hat.shape
+        latent_scales, latent_means = self.hyper_synthesis(z_hat)
+        y_slices = jnp.split(y_hat.astype(jnp.float32), cfg.num_slices,
+                             axis=-1)
+        out_slices: List[jax.Array] = []
+        for i, y_slice in enumerate(y_slices):
+            support, _, _ = self._slice_context(
+                i, latent_scales, latent_means, out_slices, y_h, y_w)
+            out_slices.append(
+                y_slice + self._slice_lrp(i, support, y_slice))
+        return self.g_s(jnp.concatenate(out_slices, axis=-1)
+                        ).astype(jnp.float32)
 
     # ------------------------------------------------------------------
     # real-codec device graphs

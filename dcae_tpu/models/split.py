@@ -93,9 +93,9 @@ class SplitCompressor:
     """Encoder half: holds g_a/h_a + shared params and baked tables."""
 
     def __init__(self, cfg: DCAEConfig, params: Dict,
-                 tables: Optional[CodecTables] = None):
+                 tables: Optional[CodecTables] = None, device=None):
         self._codec = DCAECodec(cfg, params=compress_params(params),
-                                tables=tables)
+                                tables=tables, device=device)
         if tables is None:
             self._codec.update(force=True)
 
@@ -111,9 +111,10 @@ class SplitDecompressor:
     """Decoder half: holds g_s + shared params; tables come from the
     encoder side (single source of truth)."""
 
-    def __init__(self, cfg: DCAEConfig, params: Dict, tables: CodecTables):
+    def __init__(self, cfg: DCAEConfig, params: Dict, tables: CodecTables,
+                 device=None):
         self._codec = DCAECodec(cfg, params=decompress_params(params),
-                                tables=tables)
+                                tables=tables, device=device)
 
     def decompress(self, strings, shape) -> dict:
         return self._codec.decompress(strings, shape)

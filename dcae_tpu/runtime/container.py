@@ -39,8 +39,9 @@ def pack_bin(strings: Sequence[Sequence[bytes]],
     return out
 
 
-def unpack_bin(data: bytes, p: int = 128):
-    """-> (strings, z_shape, padding, (h, w))."""
+def unpack_bin(data: bytes, p: int = 128, z_downsample: int = 64):
+    """-> (strings, z_shape, padding, (h, w)). z_downsample is the total
+    x->z stride (cfg.z_downsample; 64 for the reference topology)."""
     h, w = struct.unpack(">HH", data[:4])
     off = 4
     (ylen,) = struct.unpack(">I", data[off: off + 4])
@@ -51,7 +52,7 @@ def unpack_bin(data: bytes, p: int = 128):
     off += 4
     z_string = data[off: off + zlen]
     padded, padding = calculate_padding(h, w, p)
-    z_shape = (padded[0] // 64, padded[1] // 64)
+    z_shape = (padded[0] // z_downsample, padded[1] // z_downsample)
     return [[y_string], [z_string]], z_shape, padding, (h, w)
 
 
@@ -60,6 +61,6 @@ def save_bin(path: str, strings, size: Tuple[int, int]) -> None:
         f.write(pack_bin(strings, size))
 
 
-def read_bin(path: str, p: int = 128):
+def read_bin(path: str, p: int = 128, z_downsample: int = 64):
     with open(path, "rb") as f:
-        return unpack_bin(f.read(), p)
+        return unpack_bin(f.read(), p, z_downsample)

@@ -52,6 +52,38 @@ class TrainOptions:
     use_wandb: bool = False
     # e.g. ("g_a", "h_a") = encoder-only fine-tuning (ref train_fine_tune)
     freeze_except: Optional[Tuple[str, ...]] = None
+    # cross-device precision regularization (ref train_5.py:3320-3337):
+    # weight of the MSE between decoder outputs under 1e-6 latent noise
+    precision_reg: float = 0.0
+    precision_noise: float = 1e-6
+    # real-codec validation cadence (ref rpc/master.py:341-349: true
+    # entropy-coded RD every 10 epochs, logged under val_real/*); 0 disables
+    val_real_every: int = 10
+    val_real_images: int = 4
+
+
+def validate_real(cfg: DCAEConfig, state, test_ds, n_images: int
+                  ) -> Optional[dict]:
+    """True entropy-coded RD on a few validation images: bake tables from
+    the live params, compress+decompress for real, report stream bpp and
+    PSNR (the reference's val_real/* namespace — every 10 epochs the RPC
+    trainer decodes actual bitstreams, ref rpc/master.py:341-349,
+    train_5.py:3358-3446)."""
+    from dcae_tpu.eval_lib import eval_image_real
+    from dcae_tpu.models.codec import DCAECodec
+
+    codec = DCAECodec(cfg, params=jax.device_get(state.params))
+    codec.update(force=True)
+    batch = next(iter(test_ds.batches(max(1, n_images), drop_last=False)),
+                 None)
+    if batch is None:
+        return None
+    meters = {k: AverageMeter() for k in ("bpp", "psnr")}
+    for i in range(min(n_images, batch.shape[0])):
+        r = eval_image_real(codec, np.asarray(batch[i:i + 1]))
+        meters["bpp"].update(r.bpp)
+        meters["psnr"].update(r.psnr)
+    return {k: m.avg for k, m in meters.items()}
 
 
 def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
@@ -109,9 +141,15 @@ def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
         print(f"using {dp * opts.sp}/{n_dev} devices "
               f"(batch {opts.batch_size} % dp)")
     train_step = pmesh.shard_train_step(
-        make_train_step(model, tx, opts.lmbda, opts.loss_type), device_mesh)
+        make_train_step(model, tx, opts.lmbda, opts.loss_type,
+                        precision_reg=opts.precision_reg,
+                        precision_noise=opts.precision_noise), device_mesh)
     eval_step = pmesh.shard_eval_step(
         make_eval_step(model, opts.lmbda, opts.loss_type), device_mesh)
+    # unsharded fallback for leftover test batches (B % dp != 0) so no
+    # images are silently dropped from the validation metric
+    eval_step_rem = jax.jit(make_eval_step(model, opts.lmbda,
+                                           opts.loss_type))
     state = jax.device_put(state, pmesh.replicated(device_mesh))
     bshard = pmesh.batch_sharding(device_mesh)
 
@@ -137,14 +175,24 @@ def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
         test_meter = AverageMeter()
         for batch in test_ds.batches(opts.test_batch_size, drop_last=False):
             if batch.shape[0] % device_mesh.shape["dp"] != 0:
-                continue
-            m = eval_step(state.params, jax.device_put(batch, bshard))
+                m = eval_step_rem(state.params, jnp.asarray(batch))
+            else:
+                m = eval_step(state.params, jax.device_put(batch, bshard))
             test_meter.update(float(m["loss"]), batch.shape[0])
         test_loss = test_meter.avg
         logger.log((epoch + 1) * steps_per_epoch, {"loss": test_loss},
                    namespace="val")
         print(f"epoch {epoch}: test loss {test_loss:.4f} "
               f"({time.time() - t0:.0f}s)")
+
+        if (opts.val_real_every > 0
+                and (epoch + 1) % opts.val_real_every == 0):
+            vr = validate_real(cfg, state, test_ds, opts.val_real_images)
+            if vr:
+                logger.log((epoch + 1) * steps_per_epoch, vr,
+                           namespace="val_real")
+                print(f"epoch {epoch}: val_real bpp {vr['bpp']:.4f} "
+                      f"psnr {vr['psnr']:.2f} dB")
 
         if opts.save:
             policy.save(jax.device_get(state), epoch + 1, test_loss)

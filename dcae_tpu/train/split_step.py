@@ -21,17 +21,36 @@ step by the optimizer. RD loss semantics match the joint step exactly
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Tuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
 
 from dcae_tpu.models.dcae import DCAE
 from dcae_tpu.train.losses import rate_distortion_loss
-from dcae_tpu.train.state import TrainState
 
 ENC_KEYS = ("g_a", "h_a", "entropy_bottleneck")
+
+
+@flax.struct.dataclass
+class SplitTrainState:
+    """Device-resident split training state: each half's params and
+    optimizer state stay committed to its device across steps (no per-step
+    weight H2D — the fix for round-1's re-upload-everything pattern)."""
+
+    step: jax.Array
+    enc_params: Any
+    dec_params: Any
+    enc_opt: Any
+    dec_opt: Any
+    rng: jax.Array
+
+    @property
+    def params(self) -> Dict:
+        """Merged view (leaves live on their respective devices)."""
+        return merge_halves(self.enc_params, self.dec_params)
 
 
 def split_halves(params: Dict) -> Tuple[Dict, Dict]:
@@ -68,7 +87,7 @@ def make_split_train_step(model: DCAE, tx: optax.GradientTransformation,
     def dec_loss_fn(dec_params, enc_params_stub, y, z_hat, target,
                     noise_rng, drift_rng):
         params = merge_halves(enc_params_stub, dec_params)
-        x_hat, y_like, _, _ = model.apply(
+        x_hat, y_like, *_ = model.apply(
             {"params": params}, y, z_hat, True,
             rngs={"noise": noise_rng, "drift": drift_rng},
             method=DCAE.decode_half)
@@ -114,45 +133,74 @@ def make_split_train_step(model: DCAE, tx: optax.GradientTransformation,
             enc_params)
         return g_enc, bpp_z, aux
 
-    def train_step(state: TrainState, batch):
-        rng, noise_rng, drift_rng = jax.random.split(state.rng, 3)
+    # per-half optimizer updates, jitted; they run on whichever device the
+    # (committed) inputs live on. Per-half application of tx matches the
+    # reference, which clips/steps each model's optimizer separately
+    # (ref train_5.py:3234-3276,3341-3345).
+    @jax.jit
+    def apply_tx(params, opt_state, grads):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    # zero "structure stubs" carry no gradient and never change; built once
+    # per device and reused every step
+    stub_cache: Dict = {}
+
+    def to_split_state(state) -> SplitTrainState:
+        if isinstance(state, SplitTrainState):
+            return state
         enc_params, dec_params = split_halves(state.params)
-        # structure stubs carry no gradient; zeros avoid shipping weights
-        enc_stub = jax.tree.map(jnp.zeros_like, enc_params)
-        dec_stub = jax.tree.map(jnp.zeros_like, dec_params)
+        enc_params = jax.device_put(enc_params, enc_device)
+        dec_params = jax.device_put(dec_params, dec_device)
+        return SplitTrainState(
+            step=state.step,
+            enc_params=enc_params, dec_params=dec_params,
+            enc_opt=tx.init(enc_params), dec_opt=tx.init(dec_params),
+            rng=state.rng)
+
+    def train_step(state, batch):
+        """state: SplitTrainState (a plain TrainState is converted on the
+        first call — per-half optimizer states are initialized on their
+        devices). Returns (SplitTrainState, metrics-with-device-scalars)."""
+        state = to_split_state(state)
+        rng, noise_rng, drift_rng = jax.random.split(state.rng, 3)
+        enc_params, dec_params = state.enc_params, state.dec_params
+        if not stub_cache:
+            stub_cache["enc@dec"] = jax.device_put(
+                jax.tree.map(jnp.zeros_like, enc_params), dec_device)
+            stub_cache["dec@enc"] = jax.device_put(
+                jax.tree.map(jnp.zeros_like, dec_params), enc_device)
 
         x_enc = jax.device_put(batch, enc_device)
-        y, z_hat, bpp_z = enc_fwd(
-            jax.device_put(enc_params, enc_device),
-            jax.device_put(dec_stub, enc_device), x_enc, noise_rng,
-            drift_rng)
+        y, z_hat, bpp_z = enc_fwd(enc_params, stub_cache["dec@enc"], x_enc,
+                                  noise_rng, drift_rng)
 
         # ship activations to the decoder device
         y_d = jax.device_put(y, dec_device)
         z_d = jax.device_put(z_hat, dec_device)
         loss_dec, rd, g_dec, g_y, g_z = dec_step(
-            jax.device_put(dec_params, dec_device),
-            jax.device_put(enc_stub, dec_device), y_d, z_d,
+            dec_params, stub_cache["enc@dec"], y_d, z_d,
             jax.device_put(batch, dec_device), noise_rng, drift_rng)
 
         # ship cotangents back
         g_enc, bpp_z, aux = enc_bwd(
-            jax.device_put(enc_params, enc_device),
-            jax.device_put(dec_stub, enc_device), x_enc,
+            enc_params, stub_cache["dec@enc"], x_enc,
             jax.device_put(g_y, enc_device),
             jax.device_put(g_z, enc_device), noise_rng, drift_rng)
 
-        grads = merge_halves(jax.device_get(g_enc), jax.device_get(g_dec))
-        grads = jax.tree.map(jnp.asarray, grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        # metrics combine scalars committed to different devices -> floats
-        metrics = {k: float(v) for k, v in rd.items()}
-        metrics["bpp_loss"] = metrics["bpp_loss"] + float(bpp_z)
-        metrics["loss"] = float(loss_dec) + float(bpp_z)
-        metrics["aux_loss"] = float(aux)
-        new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state, rng=rng)
+        new_enc, enc_opt = apply_tx(enc_params, state.enc_opt, g_enc)
+        new_dec, dec_opt = apply_tx(dec_params, state.dec_opt, g_dec)
+
+        # metrics stay device scalars (loss components live on different
+        # devices; move only the tiny bpp_z/aux scalars)
+        bpp_z_d = jax.device_put(bpp_z, dec_device)
+        metrics = dict(rd)
+        metrics["bpp_loss"] = metrics["bpp_loss"] + bpp_z_d
+        metrics["loss"] = loss_dec + bpp_z_d
+        metrics["aux_loss"] = aux
+        new_state = SplitTrainState(
+            step=state.step + 1, enc_params=new_enc, dec_params=new_dec,
+            enc_opt=enc_opt, dec_opt=dec_opt, rng=rng)
         return new_state, metrics
 
     return train_step

@@ -50,7 +50,7 @@ def test_split_grads_match_composed_reference(setup):
             {"params": p}, batch, True,
             rngs={"noise": noise_rng, "drift": drift_rng},
             method=DCAE.encode_half)
-        x_hat, y_like, _, _ = model.apply(
+        x_hat, y_like, *_ = model.apply(
             {"params": p}, y, z_hat, True,
             rngs={"noise": noise_rng, "drift": drift_rng},
             method=DCAE.decode_half)

@@ -97,6 +97,23 @@ class TestTrainStep:
         assert np.isfinite(float(m["loss"]))
         assert float(m["psnr"]) > 0
 
+    def test_precision_regularization(self, setup):
+        """The cross-device precision penalty (ref train_5.py:3320-3337) is
+        nonzero, finite, and differentiable (the step completes and moves
+        weights with it in the loss)."""
+        cfg, model, params, batch = setup
+        tx = make_optimizer(1e-4, 1e-3)
+        state = create_train_state(params, tx, jax.random.PRNGKey(3))
+        step = jax.jit(make_train_step(model, tx, lmbda=0.013,
+                                       precision_reg=1e-3,
+                                       precision_noise=1e-3))
+        new_state, metrics = step(state, batch[:2])
+        p = float(metrics["precision_loss"])
+        assert np.isfinite(p) and p > 0, p
+        w0 = np.asarray(params["g_s"]["up0"]["kernel"])
+        w1 = np.asarray(new_state.params["g_s"]["up0"]["kernel"])
+        assert not np.allclose(w0, w1)
+
 
 class TestCheckpointing:
     def test_save_load_round_trip(self, setup, tmp_path):
