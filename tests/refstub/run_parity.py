@@ -26,7 +26,10 @@ def load_reference_dcae():
 
 
 def main():
-    size = sys.argv[1] if len(sys.argv) > 1 else "128x128"
+    # NOTE: >= 256 required — at 128 the hyper path is 4x4 and the
+    # reference's own SwinBlockWithConvMulti padding quirk (pads size<=window
+    # to window+1, ref models/dcae.py:371-375) crashes the reference.
+    size = sys.argv[1] if len(sys.argv) > 1 else "256x256"
     H, W = map(int, size.split("x"))
 
     import jax
@@ -73,7 +76,13 @@ def main():
     print(f"boundary margin z={mz:.2e} y={my:.2e}", flush=True)
 
     print("flax forward...", flush=True)
-    out_j = model.apply({"params": params}, jnp.asarray(x), training=False)
+    # default matmul precision in this jax build is bf16-class even on CPU;
+    # parity vs torch f32 needs HIGHEST (exact f32) — measured in
+    # docs/PERF.md round-2 notes
+    with jax.default_matmul_precision("highest"):
+        out_j = jax.jit(
+            lambda p, xx: model.apply({"params": p}, xx, training=False)
+        )(params, jnp.asarray(x))
 
     def cmp(name, tj, tt):
         a = np.asarray(tj)

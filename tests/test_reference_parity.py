@@ -53,7 +53,9 @@ def test_full_size_forward_parity():
 
     cfg = DCAEConfig()  # full-size flagship
     model = DCAE(cfg)
-    H = W = 128
+    # >= 256: at 128 the hyper path is 4x4 and the reference's own
+    # pad-to-window+1 quirk (models/dcae.py:371-375) crashes the reference
+    H = W = 256
     x = np.random.RandomState(7).rand(1, H, W, 3).astype(np.float32)
     params = model.init({"params": jax.random.PRNGKey(0)},
                         jnp.asarray(x), training=False)["params"]
@@ -77,15 +79,22 @@ def test_full_size_forward_parity():
         med_t = net.entropy_bottleneck._get_medians()
 
     # every rounding decision must sit safely away from the .5 boundary, or
-    # a 1e-6 numeric difference could legitimately flip a symbol
+    # a tiny numeric difference could legitimately flip a symbol (observed
+    # margin at this seed: 3.5e-6; observed mu diff: ~1e-7)
     def boundary_margin(v):
         d = torch.abs(v - torch.round(v))
         return float((0.5 - d).min())
 
-    assert boundary_margin(z_t - med_t) > 1e-3
-    assert boundary_margin(y_t - out_t["para"]["means"]) > 1e-3
+    assert boundary_margin(z_t - med_t) > 1e-5
+    assert boundary_margin(y_t - out_t["para"]["means"]) > 1e-6
 
-    out_j = model.apply({"params": params}, jnp.asarray(x), training=False)
+    # this jax build's DEFAULT matmul/conv precision is bf16-class even on
+    # CPU (measured: single f32 conv 1.9e-3 off float64; HIGHEST = exact
+    # f32, 1e-7) — parity vs torch f32 requires HIGHEST.
+    with jax.default_matmul_precision("highest"):
+        out_j = jax.jit(
+            lambda p, xx: model.apply({"params": p}, xx, training=False)
+        )(params, jnp.asarray(x))
 
     def check(name, tj, tt, atol):
         a = np.asarray(tj)
@@ -93,11 +102,14 @@ def test_full_size_forward_parity():
         np.testing.assert_allclose(a, b, atol=atol, rtol=0,
                                    err_msg=name)
 
+    # measured maxima at this seed (docs/PERF.md round-2): y 5.1e-6,
+    # means 8.9e-8, scales 1.0e-7, like_y 1.9e-11, like_z 2.9e-6,
+    # x_hat 1.8e-6 — tolerances carry ~20x headroom
     check("y", out_j["para"]["y"], out_t["para"]["y"], 1e-4)
-    check("means", out_j["para"]["means"], out_t["para"]["means"], 1e-3)
-    check("scales", out_j["para"]["scales"], out_t["para"]["scales"], 1e-3)
+    check("means", out_j["para"]["means"], out_t["para"]["means"], 1e-5)
+    check("scales", out_j["para"]["scales"], out_t["para"]["scales"], 1e-5)
     check("like_y", out_j["likelihoods"]["y"], out_t["likelihoods"]["y"],
-          1e-4)
+          1e-6)
     check("like_z", out_j["likelihoods"]["z"], out_t["likelihoods"]["z"],
           1e-4)
-    check("x_hat", out_j["x_hat"], out_t["x_hat"], 5e-3)
+    check("x_hat", out_j["x_hat"], out_t["x_hat"], 1e-4)

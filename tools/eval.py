@@ -14,6 +14,62 @@ from dcae_tpu.models.codec import DCAECodec  # noqa: E402
 from dcae_tpu.utils.checkpoint import load_params_only, load_tables  # noqa: E402
 
 
+def two_phase(codec, a):
+    """Two-phase eval: --mode compress pickles each image's whole out_enc
+    (strings + shape + original size) to save_path; --mode decompress
+    reloads the pickles, decodes, and reports metrics vs the originals
+    (ref eval_2.py:133-160)."""
+    import os
+    import pickle
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dcae_tpu.data.datasets import list_images, load_image
+    from dcae_tpu.ops.layers import crop_spatial, pad_spatial
+    from dcae_tpu.utils.metrics import psnr, real_bpp
+
+    files = list_images(a.data)
+    if a.limit:
+        files = files[:a.limit]
+    codec.update()
+    os.makedirs(a.save_path, exist_ok=True)
+
+    if a.mode == "compress":
+        for path in files:
+            x = load_image(path)[None]
+            padded, padding = pad_spatial(jnp.asarray(x),
+                                          codec.cfg.pad_multiple)
+            out_enc = codec.compress(padded)
+            out_enc["size"] = (x.shape[1], x.shape[2])
+            out_enc["padding"] = padding
+            name = os.path.splitext(os.path.basename(path))[0]
+            with open(os.path.join(a.save_path, name + ".pkl"), "wb") as f:
+                pickle.dump(out_enc, f)
+            print(f"{path}: {real_bpp(out_enc['strings'], x.shape[1] * x.shape[2]):.4f} bpp")
+        return
+
+    bpps, psnrs = [], []
+    for path in files:
+        name = os.path.splitext(os.path.basename(path))[0]
+        pkl = os.path.join(a.save_path, name + ".pkl")
+        if not os.path.exists(pkl):
+            continue
+        with open(pkl, "rb") as f:
+            out_enc = pickle.load(f)
+        x = load_image(path)[None]
+        dec = codec.decompress(out_enc["strings"], out_enc["shape"])
+        x_hat = crop_spatial(dec["x_hat"], out_enc["padding"])
+        p_ = float(psnr(jnp.asarray(x), x_hat))
+        b_ = real_bpp(out_enc["strings"], x.shape[1] * x.shape[2])
+        bpps.append(b_)
+        psnrs.append(p_)
+        print(f"{path}: psnr {p_:.2f} dB | bpp {b_:.4f}")
+    if bpps:
+        print(f"average: psnr {np.mean(psnrs):.3f} dB | "
+              f"bpp {np.mean(bpps):.4f} over {len(bpps)} images")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="DCAE-TPU evaluation")
     p.add_argument("--data", type=str, required=True)
@@ -21,9 +77,14 @@ def main(argv=None):
     p.add_argument("--real", action="store_true",
                    help="entropy-coded round trip (default: forward-only)")
     p.add_argument("--mode", type=str, default="both",
-                   choices=["both", "size_analysis"],
+                   choices=["both", "size_analysis", "compress",
+                            "decompress"],
                    help="size_analysis: payload/model byte accounting "
-                        "(ref eval.py analyze_data_size)")
+                        "(ref eval.py analyze_data_size); compress/"
+                        "decompress: two-phase eval persisting the whole "
+                        "out_enc per image (ref eval_2.py:133-160)")
+    p.add_argument("--save_path", type=str, default="./eval_out",
+                   help="out_enc pickle dir for two-phase modes")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny config (tests/smoke)")
@@ -50,6 +111,9 @@ def main(argv=None):
         x = load_image(path)[None]
         padded, _ = pad_spatial(jnp.asarray(x), cfg.pad_multiple)
         print(json.dumps(codec.analyze_sizes(padded), indent=2))
+        return
+    if a.mode in ("compress", "decompress"):
+        two_phase(codec, a)
         return
     if a.real:
         codec.update()  # no-op when tables came with the checkpoint
