@@ -106,6 +106,7 @@ def main():
             "single_image_ms": round(single_ms, 1),
             "single_image_encode_ms": round(single_enc_ms, 1),
             "bpp": round(total_bytes * 8 / (n_images * 512 * 768), 4),
+            "encode_mode": codec.encode_mode,
             "fused_encoder": fused_ok,
             "device": str(jax.devices()[0]),
         },

@@ -72,8 +72,9 @@ class DCAECodec:
         self._scale_table = get_scale_table(cfg.scales_min, cfg.scales_max,
                                             cfg.scales_levels)
         # staged encode by default (cross-program bit-agreement by
-        # construction); self_check() can enable the fused fast path
-        self.fused_encode = False
+        # construction); self_check() upgrades to "split" (2 device calls)
+        # or "fused" (1 device call) when the streams bit-match
+        self.encode_mode = "staged"
         # per-image streams are independent; the C coder releases the GIL,
         # so batches entropy-code in parallel
         self._pool = ThreadPoolExecutor(max_workers=8)
@@ -94,6 +95,10 @@ class DCAECodec:
         self._analyze = jax.jit(
             lambda p, x: model.apply(
                 {"params": p}, x, method=DCAE.encode_analysis))
+
+        self._encode_rest = jax.jit(
+            lambda p, y, z_hat, st: model.apply(
+                {"params": p}, y, z_hat, st, method=DCAE.encode_rest))
 
         self._start = jax.jit(
             lambda p, z_hat, st: model.apply(
@@ -151,23 +156,39 @@ class DCAECodec:
             raise RuntimeError("call update() before real coding")
         return self.tables
 
-    def compress(self, x, fused: Optional[bool] = None) -> dict:
+    @property
+    def fused_encode(self) -> bool:
+        return self.encode_mode == "fused"
+
+    @fused_encode.setter
+    def fused_encode(self, v: bool):
+        self.encode_mode = "fused" if v else "staged"
+
+    def compress(self, x, fused: Optional[bool] = None,
+                 mode: Optional[str] = None) -> dict:
         """x: (B,H,W,3) float in [0,1], H and W multiples of cfg.pad_multiple.
         Returns {"strings": [y_strings, z_strings], "shape": (zh, zw)}.
 
-        Two encoder modes:
+        Three encoder modes:
           staged (default) — drives the SAME compiled slice-context programs
             the decoder uses, so the mu/sigma the encoder codes against are
             bit-identical to the decoder's by construction (the cross-program
             analog of the reference fork's drift problem cannot occur).
-          fused (fused=True or self.fused_encode=True) — one device program
-            for the whole encode (faster; validate with self_check() first,
-            which flips fused_encode on when streams agree).
+            6 device round trips.
+          split — 2 device calls (analysis, then all slice contexts fused);
+            bit-agreement still holds when only the analysis transforms run
+            reduced precision (their y/z are computed once and shared).
+          fused — one device program for the whole encode (fastest).
+        self_check() picks the fastest mode whose stream bit-matches staged.
         """
-        if fused is None:
-            fused = self.fused_encode
-        return (self._compress_fused(x) if fused
-                else self._compress_staged(x))
+        if mode is None:
+            mode = ("fused" if fused else "staged") if fused is not None \
+                else self.encode_mode
+        if mode == "fused":
+            return self._compress_fused(x)
+        if mode == "split":
+            return self._compress_split(x)
+        return self._compress_staged(x)
 
     def _encode_z(self, z_sym: np.ndarray) -> List[bytes]:
         t = self._require_tables()
@@ -184,16 +205,26 @@ class DCAECodec:
                            jnp.asarray(self._scale_table))
         return self._finish_fused(out)
 
+    def _compress_split(self, x) -> dict:
+        """2-call encode: analysis program, then one fused slice-context
+        program (bit-safe with reduced-precision analysis transforms)."""
+        y, z_symbols, z_hat = self._analyze(self.params,
+                                            jnp.asarray(x, jnp.float32))
+        out = dict(self._encode_rest(self.params, y, z_hat,
+                                     jnp.asarray(self._scale_table)))
+        out["z_symbols"] = z_symbols
+        return self._finish_fused(out)
+
     def compress_many(self, batches: Sequence, fused: Optional[bool] = None,
                       pipeline: bool = False) -> List[dict]:
         """Multi-batch encode. pipeline=True dispatches batch n+1's device
         program before host-coding batch n — a win on dedicated hardware,
         but measurably harmful on contended/time-shared chips (overlapping
         dispatch queues serialize badly), so it is opt-in."""
-        if fused is None:
-            fused = self.fused_encode
-        if not fused or not pipeline:
-            return [self.compress(x, fused=fused) for x in batches]
+        mode = (("fused" if fused else "staged") if fused is not None
+                else self.encode_mode)
+        if mode != "fused" or not pipeline:
+            return [self.compress(x, mode=mode) for x in batches]
         st = jnp.asarray(self._scale_table)
         results: List[dict] = []
         pending = None
@@ -303,17 +334,22 @@ class DCAECodec:
         }
 
     def self_check(self, image=None) -> bool:
-        """Compress one image with both encoder modes; if the streams match,
-        enable the fused fast path. Returns whether fused mode is now on."""
+        """Compress one image with every encoder mode; enable the fastest
+        whose stream bit-matches the staged (decoder-replay) reference.
+        Returns True when a fast path (fused or split) is now on."""
         if image is None:
             rng = np.random.default_rng(0)
             p = self.cfg.pad_multiple
             image = rng.uniform(0, 1, (1, p, p, self.cfg.in_channels)
                                 ).astype(np.float32)
-        staged = self.compress(image, fused=False)
-        fused = self.compress(image, fused=True)
-        self.fused_encode = staged["strings"] == fused["strings"]
-        return self.fused_encode
+        staged = self.compress(image, mode="staged")
+        for mode in ("fused", "split"):
+            if self.compress(image, mode=mode)["strings"] \
+                    == staged["strings"]:
+                self.encode_mode = mode
+                return True
+        self.encode_mode = "staged"
+        return False
 
     def compress_with_indexes(self, x) -> dict:
         """Fused compress that additionally returns the encoder's coding

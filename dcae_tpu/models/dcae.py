@@ -44,11 +44,19 @@ class DCAE(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        # dtype (e.g. bfloat16) applies ONLY to the one-sided transforms:
+        # g_a/h_a run on the encoder only and g_s on the decoder only, and
+        # their f32-cast outputs are quantized once, so reduced-precision
+        # bodies cannot cause encoder/decoder drift. The entropy-side nets
+        # (hyper synthesis, dictionary attention, slice context nets) always
+        # run float32 — encoder and decoder must reproduce mu/sigma/LRP
+        # bitwise across *different compiled programs*, and bf16 results are
+        # not stable across XLA fusion contexts.
         self.g_a = GAnalysis(cfg, dtype=self.dtype)
         self.g_s = GSynthesis(cfg, dtype=self.dtype)
         self.h_a = HyperAnalysis(cfg, dtype=self.dtype)
-        self.h_z_s1 = HyperSynthesis(cfg, dtype=self.dtype)  # latent scales
-        self.h_z_s2 = HyperSynthesis(cfg, dtype=self.dtype)  # latent means
+        self.h_z_s1 = HyperSynthesis(cfg)  # latent scales (f32, see above)
+        self.h_z_s2 = HyperSynthesis(cfg)  # latent means
 
         self.dt = self.param(
             "dt", nn.initializers.normal(stddev=1.0),
@@ -59,15 +67,15 @@ class DCAE(nn.Module):
             DictionaryCrossAttention(
                 output_dim=cfg.M, head_num=cfg.dict_head_num,
                 head_dim=cfg.dict_head_dim, mlp_rate=cfg.mlp_rate,
-                qkv_bias=cfg.qkv_bias, dtype=self.dtype)
+                qkv_bias=cfg.qkv_bias)
             for _ in range(cfg.num_slices)
         ]
         self.cc_mean_transforms = [
-            SliceNet(cfg, dtype=self.dtype) for _ in range(cfg.num_slices)]
+            SliceNet(cfg) for _ in range(cfg.num_slices)]
         self.cc_scale_transforms = [
-            SliceNet(cfg, dtype=self.dtype) for _ in range(cfg.num_slices)]
+            SliceNet(cfg) for _ in range(cfg.num_slices)]
         self.lrp_transforms = [
-            SliceNet(cfg, dtype=self.dtype) for _ in range(cfg.num_slices)]
+            SliceNet(cfg) for _ in range(cfg.num_slices)]
 
         self.entropy_bottleneck = EntropyBottleneck(
             channels=cfg.eb_channels, filters=cfg.eb_filters,
@@ -264,6 +272,45 @@ class DCAE(nn.Module):
         # inputs / untrained params)
         return {
             "z_symbols": z_symbols,
+            "y_symbols": y_symbols,
+            "y_symbols16": y_symbols.astype(jnp.int16),
+            "y_overflow": jnp.any(jnp.abs(y_symbols) > 32767),
+            "y_indexes": jnp.stack(idx_list),
+        }
+
+    def encode_rest(self, y: jax.Array, z_hat: jax.Array,
+                    scale_table: jax.Array):
+        """Everything after the analysis transforms, as ONE device program:
+        hyper synthesis + all slice contexts + symbols/indexes. Paired with
+        encode_analysis this gives a 2-round-trip encode whose slice math is
+        the same f32 graph the decoder replays — used when g_a/h_a run in a
+        reduced-precision dtype (their y/z outputs are computed once here,
+        so the fully-fused single-program path can't bit-match the staged
+        decoder replay, but this split can). (ref compress():
+        models/dcae.py:698-761)"""
+        cfg = self.cfg
+        y = y.astype(jnp.float32)
+        B, y_h, y_w, _ = y.shape
+        latent_scales, latent_means = self.hyper_synthesis(z_hat)
+
+        y_slices = jnp.split(y, cfg.num_slices, axis=-1)
+        y_hat_slices: List[jax.Array] = []
+        sym_list, idx_list = [], []
+        for i, y_slice in enumerate(y_slices):
+            support, mu, sigma = self._slice_context(
+                i, latent_scales, latent_means, y_hat_slices, y_h, y_w)
+            indexes = gaussian.build_indexes(
+                sigma, scale_table, cfg.scales_min).astype(jnp.uint8)
+            symbols = jnp.round(y_slice - mu).astype(jnp.int32)
+            y_hat_slice = symbols.astype(jnp.float32) + mu
+            sym_list.append(symbols)
+            idx_list.append(indexes)
+            y_hat_slice = y_hat_slice + self._slice_lrp(i, support,
+                                                        y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        y_symbols = jnp.stack(sym_list)
+        return {
             "y_symbols": y_symbols,
             "y_symbols16": y_symbols.astype(jnp.int16),
             "y_overflow": jnp.any(jnp.abs(y_symbols) > 32767),

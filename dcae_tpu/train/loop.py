@@ -60,6 +60,12 @@ class TrainOptions:
     # entropy-coded RD every 10 epochs, logged under val_real/*); 0 disables
     val_real_every: int = 10
     val_real_images: int = 4
+    # adaptive aux-LR (ref ExponentialTargetScheduler, train_5.py:3029-3067):
+    # drive the quantile loss to aux_target_loss by the end of training,
+    # retuning the aux Adam LR every epoch. Off by default (plain Adam at
+    # aux_learning_rate also converges — docs/TRAIN_VALIDATION.md).
+    aux_scheduler: bool = False
+    aux_target_loss: float = 10.0
 
 
 def validate_real(cfg: DCAEConfig, state, test_ds, n_images: int
@@ -153,6 +159,8 @@ def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
     state = jax.device_put(state, pmesh.replicated(device_mesh))
     bshard = pmesh.batch_sharding(device_mesh)
 
+    aux_sched = None  # built lazily from the first epoch's measured aux loss
+
     for epoch in range(last_epoch, opts.epochs):
         t0 = time.time()
         meters = {k: AverageMeter() for k in ("loss", "bpp_loss", "aux_loss")}
@@ -184,6 +192,26 @@ def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
                    namespace="val")
         print(f"epoch {epoch}: test loss {test_loss:.4f} "
               f"({time.time() - t0:.0f}s)")
+
+        if opts.aux_scheduler and meters["aux_loss"].count:
+            from dcae_tpu.train.state import (ExponentialTargetScheduler,
+                                              set_aux_lr)
+            aux_now = meters["aux_loss"].avg
+            if aux_sched is None:
+                aux_sched = ExponentialTargetScheduler(
+                    start_loss=max(aux_now, opts.aux_target_loss * 2),
+                    target_loss=opts.aux_target_loss,
+                    total_epochs=max(1, opts.epochs - last_epoch))
+            main_lr = float(schedule(state.step))
+            new_lr, mult = aux_sched.step(aux_now, main_lr,
+                                          epoch - last_epoch)
+            state = dataclasses.replace(
+                state, opt_state=set_aux_lr(state.opt_state, new_lr))
+            logger.log((epoch + 1) * steps_per_epoch,
+                       {"aux_lr": new_lr, "aux_mult": mult},
+                       namespace="aux_sched")
+            print(f"epoch {epoch}: aux_lr -> {new_lr:.2e} (x{mult:.0f}, "
+                  f"aux {aux_now:.1f})")
 
         if (opts.val_real_every > 0
                 and (epoch + 1) % opts.val_real_every == 0):

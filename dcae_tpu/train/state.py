@@ -49,13 +49,18 @@ def make_optimizer(learning_rate, aux_learning_rate: float = 1e-3,
     """Dual optimizer; optionally freeze all top-level subtrees NOT in
     trainable_keys (the reference's encoder-only fine-tuning freezes
     everything but g_a/h_a to close the split-deployment drift gap,
-    ref train_fine_tune.py:552-570)."""
+    ref train_fine_tune.py:552-570).
+
+    The aux Adam's learning rate is an inject_hyperparams state leaf so the
+    host-side ExponentialTargetScheduler can retune it between epochs
+    without rebuilding the optimizer (ref train_5.py:3029-3067)."""
     main = optax.chain(
         optax.clip_by_global_norm(clip_max_norm) if clip_max_norm > 0
         else optax.identity(),
         optax.adam(learning_rate),
     )
-    aux = optax.adam(aux_learning_rate)
+    aux = optax.inject_hyperparams(optax.adam)(
+        learning_rate=aux_learning_rate)
 
     if trainable_keys is None:
         return optax.multi_transform({"main": main, "aux": aux},
@@ -83,3 +88,73 @@ def create_train_state(params, tx: optax.GradientTransformation,
     import jax.numpy as jnp
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params), rng=rng)
+
+
+# ---------------------------------------------------------------------------
+# adaptive aux-LR scheduling (ref train_5.py ExponentialTargetScheduler,
+# /root/reference/train_5.py:3029-3067)
+# ---------------------------------------------------------------------------
+
+
+def _map_inject_lr(state, fn: Callable):
+    """Recursively rewrite every InjectHyperparamsState learning_rate leaf
+    in an optax state pytree (there is exactly one: the aux Adam's)."""
+    # duck-typed: optax renamed InjectHyperparamsState ->
+    # InjectStatefulHyperparamsState; both carry a hyperparams dict
+    if (isinstance(state, tuple) and hasattr(state, "_fields")
+            and "hyperparams" in getattr(state, "_fields", ())):
+        hp = dict(state.hyperparams)
+        if "learning_rate" in hp:
+            hp["learning_rate"] = fn(hp["learning_rate"])
+        return state._replace(hyperparams=hp)
+    if isinstance(state, tuple) and hasattr(state, "_fields"):  # NamedTuple
+        return type(state)(*[_map_inject_lr(v, fn) for v in state])
+    if isinstance(state, (list, tuple)):
+        return type(state)(_map_inject_lr(v, fn) for v in state)
+    if isinstance(state, dict):
+        return {k: _map_inject_lr(v, fn) for k, v in state.items()}
+    return state
+
+
+def set_aux_lr(opt_state, lr: float):
+    """Return opt_state with the aux Adam's learning rate set to lr."""
+    import jax.numpy as jnp
+    return _map_inject_lr(opt_state,
+                          lambda old: jnp.asarray(lr, jnp.float32))
+
+
+def get_aux_lr(opt_state) -> float:
+    found = []
+    _map_inject_lr(opt_state, lambda old: found.append(old) or old)
+    return float(found[0]) if found else float("nan")
+
+
+class ExponentialTargetScheduler:
+    """Adaptive aux-LR schedule: drive the quantile (aux) loss along an
+    exponential trajectory from start_loss to target_loss over total_epochs,
+    boosting the LR when behind schedule. Numeric behavior matches the
+    reference (train_5.py:3029-3067): multiplier bands x(50..1000) on the
+    main LR, safety cap 0.1. Host-side; apply the result with set_aux_lr."""
+
+    def __init__(self, start_loss: float, target_loss: float = 10.0,
+                 total_epochs: int = 100):
+        self.start_loss = float(start_loss)
+        self.target_loss = float(target_loss)
+        self.total_epochs = int(total_epochs)
+        self.decay_rate = ((self.target_loss / self.start_loss)
+                           ** (1.0 / self.total_epochs))
+
+    def step(self, current_aux_loss: float, main_lr: float,
+             epoch: int) -> Tuple[float, float]:
+        expected = self.start_loss * (self.decay_rate ** epoch)
+        if current_aux_loss > expected * 1.5:
+            boost = (current_aux_loss / expected) * 2
+            multiplier = min(1000.0, 200.0 * boost)
+        elif current_aux_loss > expected:
+            boost = current_aux_loss / expected
+            multiplier = min(500.0, 100.0 * boost)
+        else:
+            multiplier = max(50.0, 200.0 * (current_aux_loss
+                                            / self.target_loss))
+        new_lr = min(main_lr * multiplier, 0.1)
+        return new_lr, multiplier

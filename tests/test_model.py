@@ -139,6 +139,34 @@ class TestRealCodec:
         fused = tiny_codec.compress(image, fused=True)
         assert staged["strings"] == fused["strings"]
         assert tiny_codec.self_check(image) is True
+        assert tiny_codec.encode_mode in ("fused", "split")
+
+    def test_split_encoder_agrees(self, tiny_codec, image):
+        """The 2-call split encoder (analysis, then one fused slice-context
+        program) must also emit the staged stream — it's the bit-safe fast
+        path when the analysis transforms run reduced precision."""
+        staged = tiny_codec.compress(image, mode="staged")
+        split = tiny_codec.compress(image, mode="split")
+        assert staged["strings"] == split["strings"]
+
+    def test_bfloat16_codec_round_trip(self, image):
+        """bf16 analysis/synthesis bodies (entropy-side nets stay f32):
+        compressed streams still decode to the forward reconstruction."""
+        from dcae_tpu.config import DCAEConfig
+        from dcae_tpu.models.codec import DCAECodec
+
+        cfg = DCAEConfig.tiny(compute_dtype="bfloat16")
+        codec = DCAECodec(cfg, seed=0)
+        codec.update(force=True)
+        codec.self_check(image)
+        enc = codec.compress(image)
+        dec = codec.decompress(enc["strings"], enc["shape"])
+        x_hat = np.asarray(dec["x_hat"])
+        # the f32 entropy path makes y_hat identical in both graphs; only
+        # the bf16 g_s body may round differently across programs, so the
+        # tolerance is bf16-scale rather than the f32 test's 1e-5
+        fwd = np.clip(np.asarray(codec.forward(image)["x_hat"]), 0, 1)
+        np.testing.assert_allclose(x_hat, fwd, atol=2e-2)
 
     def test_decompress_many_interleaved(self, tiny_codec, image):
         """Interleaved multi-job decode must equal per-job decode."""

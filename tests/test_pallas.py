@@ -43,3 +43,38 @@ def test_fused_wmsa_tile_padding(rng):
         p["proj_bias"], p["relative_position"], window=window,
         heads=C // head_dim, shifted=False, tile_w=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_fused_wmsa_v3_matches_einsum(shifted, rng):
+    """v3 (sublane head packing, fully VMEM-resident) vs the einsum path."""
+    from dcae_tpu.ops.pallas.wmsa_v3 import fused_wmsa_v3
+
+    window, head_dim, C = 4, 8, 24  # 3 heads
+    heads = C // head_dim
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 12, C)).astype(np.float32))
+    m = WMSA(head_dim=head_dim, window_size=window, shifted=shifted)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(m.apply(variables, x))
+    p = variables["params"]
+    got = fused_wmsa_v3(
+        x, p["qkv_kernel"], p["qkv_bias"], p["proj_kernel"], p["proj_bias"],
+        p["relative_position"], window=window, heads=heads, shifted=shifted,
+        tile_w=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_fused_wmsa_v3_tile_padding(rng):
+    from dcae_tpu.ops.pallas.wmsa_v3 import fused_wmsa_v3
+
+    window, head_dim, C = 4, 8, 16
+    x = jnp.asarray(rng.normal(0, 1, (1, 4, 12, C)).astype(np.float32))
+    m = WMSA(head_dim=head_dim, window_size=window, shifted=False)
+    variables = m.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(m.apply(variables, x))
+    p = variables["params"]
+    got = fused_wmsa_v3(
+        x, p["qkv_kernel"], p["qkv_bias"], p["proj_kernel"], p["proj_bias"],
+        p["relative_position"], window=window, heads=C // head_dim,
+        shifted=False, tile_w=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)

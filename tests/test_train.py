@@ -170,3 +170,57 @@ class TestDataPipeline:
         # center crops are deterministic
         tb2 = list(test_ds.batches(batch_size=2, drop_last=False))
         np.testing.assert_array_equal(tb[0], tb2[0])
+
+
+class TestAuxScheduler:
+    """ExponentialTargetScheduler (ref train_5.py:3029-3067) + the
+    inject_hyperparams aux-LR rewiring."""
+
+    def test_multiplier_bands(self):
+        from dcae_tpu.train.state import ExponentialTargetScheduler
+        s = ExponentialTargetScheduler(start_loss=3820, target_loss=10,
+                                       total_epochs=100)
+        # far behind schedule at epoch 50 -> aggressive boost, capped 1000
+        lr, mult = s.step(current_aux_loss=3820, main_lr=1e-4, epoch=50)
+        assert mult == 1000 and lr == pytest.approx(0.1)
+        # exactly on schedule -> standard band (>=50x main; the multiplier
+        # itself is uncapped in this band — only the LR is, at 0.1)
+        expected = 3820 * s.decay_rate ** 30
+        lr, mult = s.step(expected * 0.99, 1e-4, 30)
+        assert mult >= 50 and lr <= 0.1
+        # slightly behind -> 100x-band
+        lr, mult = s.step(expected * 1.2, 1e-4, 30)
+        assert 100 <= mult <= 500
+
+    def test_set_get_aux_lr(self, setup):
+        from dcae_tpu.train.state import get_aux_lr, set_aux_lr
+        _, _, params, _ = setup
+        tx = make_optimizer(1e-4, 1e-3)
+        opt_state = tx.init(params)
+        assert get_aux_lr(opt_state) == pytest.approx(1e-3)
+        opt_state2 = set_aux_lr(opt_state, 0.05)
+        assert get_aux_lr(opt_state2) == pytest.approx(0.05)
+        # main branch untouched: one step with the boosted LR moves the
+        # quantiles ~50x more than the default LR does
+        labels = param_labels(params)
+        flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+        assert any(v == "main" for _, v in flat)
+
+    def test_boosted_lr_moves_quantiles_faster(self, setup):
+        from dcae_tpu.train.state import set_aux_lr
+        cfg, model, params, batch = setup
+        tx = make_optimizer(1e-4, 1e-3)
+        step = jax.jit(make_train_step(model, tx, lmbda=0.013))
+
+        def quantile_delta(aux_lr):
+            state = create_train_state(params, tx, jax.random.PRNGKey(1))
+            state = state.replace(
+                opt_state=set_aux_lr(state.opt_state, aux_lr))
+            new_state, _ = step(state, batch)
+            q0 = np.asarray(params["entropy_bottleneck"]["quantiles"])
+            q1 = np.asarray(
+                new_state.params["entropy_bottleneck"]["quantiles"])
+            return np.abs(q1 - q0).max()
+
+        d_small, d_big = quantile_delta(1e-3), quantile_delta(5e-2)
+        assert d_big > 10 * d_small

@@ -50,6 +50,16 @@ def parse_args(argv):
                         "fine-tuning, ref train_fine_tune.py)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config (smoke tests)")
+    p.add_argument("--aux_scheduler", action="store_true",
+                   help="adaptive aux-LR targeting (ref "
+                        "ExponentialTargetScheduler, train_5.py:3029)")
+    p.add_argument("--aux_target_loss", type=float, default=10.0)
+    p.add_argument("--precision_reg", type=float, default=0.0,
+                   help="cross-device precision regularization weight "
+                        "(ref train_5.py:3320-3337)")
+    p.add_argument("--val_real_every", type=int, default=10,
+                   help="true entropy-coded validation cadence in epochs "
+                        "(0 disables; ref rpc/master.py:341-349)")
     return p.parse_args(argv)
 
 
@@ -65,7 +75,9 @@ def main(argv=None):
         checkpoint=a.checkpoint, continue_train=a.continue_train,
         num_workers=a.num_workers, sp=a.sp, drift_noise=a.drift_noise,
         use_wandb=a.wandb,
-        freeze_except=("g_a", "h_a") if a.finetune_encoder else None)
+        freeze_except=("g_a", "h_a") if a.finetune_encoder else None,
+        aux_scheduler=a.aux_scheduler, aux_target_loss=a.aux_target_loss,
+        precision_reg=a.precision_reg, val_real_every=a.val_real_every)
     cfg = None
     if a.tiny:
         from dcae_tpu.config import DCAEConfig
