@@ -43,8 +43,12 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
+    # serving config: bf16 analysis/synthesis bodies (entropy path stays
+    # f32; stream bit-agreement is self_check-gated below). The chip's
+    # default matmul precision is bf16-class even at f32 storage
+    # (docs/PERF.md), so this only halves HBM traffic, not accuracy.
     cfg = DCAEConfig(
-        compute_dtype=os.environ.get("DCAE_BENCH_DTYPE", "float32"))
+        compute_dtype=os.environ.get("DCAE_BENCH_DTYPE", "bfloat16"))
     codec = DCAECodec(cfg, seed=0)
     codec.update(force=True)
 

@@ -69,6 +69,12 @@ class DCAEConfig:
     # parameters/likelihoods always run in float32.
     compute_dtype: str = "float32"
 
+    # fused Pallas window attention (ops/pallas/wmsa_v3) in the Swin stages.
+    # Inference-only (pallas_call has no VJP): DCAECodec flips it on
+    # automatically on TPU backends; the training graph keeps the einsum
+    # path. Parameter trees are identical either way.
+    pallas_attention: bool = False
+
     @property
     def dict_dim(self) -> int:
         return self.dict_head_dim * self.dict_head_num

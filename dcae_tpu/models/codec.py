@@ -59,6 +59,16 @@ class DCAECodec:
         self.device = device
         if dtype is None and cfg.compute_dtype == "bfloat16":
             dtype = jnp.bfloat16
+        # inference-only fused attention kernels on TPU backends (the
+        # einsum path stays for CPU tests and for training, which needs
+        # the VJP; parameter trees are identical)
+        import dataclasses as _dc
+        import os as _os
+        backend = (device.platform if device is not None
+                   else jax.default_backend())
+        if (backend == "tpu" and not cfg.pallas_attention
+                and _os.environ.get("DCAE_PALLAS") != "0"):
+            cfg = _dc.replace(cfg, pallas_attention=True)
         self.model = DCAE(cfg, dtype=dtype)
         if params is None:
             dummy = jnp.zeros((1, cfg.pad_multiple, cfg.pad_multiple,

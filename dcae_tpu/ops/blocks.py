@@ -111,6 +111,7 @@ class WMSA(nn.Module):
     window_size: int
     shifted: bool = False
     dtype: Optional[Dtype] = None
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -131,13 +132,17 @@ class WMSA(nn.Module):
                                  layers.fan_in_uniform(C), (C, C))
         proj_bias = self.param("proj_bias", layers.fan_in_uniform(C), (C,))
 
-        # Pallas path only where the lane padding (head_dim -> 128) is
-        # affordable: deep low-resolution stages (head_dim >= 32). Early
-        # high-res stages (head_dim 8/16) would blow HBM on padded q/k/v.
-        if (os.environ.get("DCAE_PALLAS") == "1" and self.head_dim >= 32):
-            from dcae_tpu.ops.pallas.wmsa_blockdiag import fused_wmsa_blockdiag
+        # v3 fused kernel (sublane head packing, fully VMEM-resident):
+        # wins where activation traffic dominates (high-res stages) and ties
+        # elsewhere — enabled for all window-8 stages. Inference-only (no
+        # VJP); the codec turns it on via cfg.pallas_attention. DCAE_PALLAS
+        # env: "0" force-disables, "1" force-enables (benchmarks).
+        env = os.environ.get("DCAE_PALLAS")
+        use_pallas = (self.pallas if env is None else env == "1") and w == 8
+        if use_pallas:
+            from dcae_tpu.ops.pallas.wmsa_v3 import fused_wmsa_v3
 
-            return fused_wmsa_blockdiag(
+            return fused_wmsa_v3(
                 x, qkv_kernel, qkv_bias, proj_kernel, proj_bias, rel_table,
                 window=w, heads=heads, shifted=self.shifted).astype(x.dtype)
 
@@ -230,13 +235,14 @@ class ResScaleConvolutionGateBlock(nn.Module):
     window_size: int
     shifted: bool = False
     dtype: Optional[Dtype] = None
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         dim = x.shape[-1]
         h = LayerNorm(dtype=self.dtype, name="ln1")(x)
         h = WMSA(self.head_dim, self.window_size, self.shifted,
-                 dtype=self.dtype, name="msa")(h)
+                 dtype=self.dtype, pallas=self.pallas, name="msa")(h)
         x = Scale(dim, name="res_scale_1")(x) + h
         h = LayerNorm(dtype=self.dtype, name="ln2")(x)
         h = ConvolutionalGLU(dim * 4, dtype=self.dtype, name="mlp")(h)
@@ -248,15 +254,16 @@ class SwinPair(nn.Module):
     head_dim: int
     window_size: int
     dtype: Optional[Dtype] = None
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, _):
         x = ResScaleConvolutionGateBlock(
             self.head_dim, self.window_size, shifted=False, dtype=self.dtype,
-            name="w")(x)
+            pallas=self.pallas, name="w")(x)
         x = ResScaleConvolutionGateBlock(
             self.head_dim, self.window_size, shifted=True, dtype=self.dtype,
-            name="sw")(x)
+            pallas=self.pallas, name="sw")(x)
         return x, None
 
 
@@ -276,6 +283,7 @@ class SwinStack(nn.Module):
     window_size: int
     block_num: int
     dtype: Optional[Dtype] = None
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -293,12 +301,12 @@ class SwinStack(nn.Module):
                            split_rngs={"params": True},
                            length=self.block_num // 2)
             t, _ = scan(self.head_dim, w, dtype=self.dtype,
-                        name="pairs")(t, None)
+                        pallas=self.pallas, name="pairs")(t, None)
         else:
             for i in range(self.block_num):
                 t = ResScaleConvolutionGateBlock(
                     self.head_dim, w, shifted=(i % 2 == 1), dtype=self.dtype,
-                    name=f"block{i}")(t)
+                    pallas=self.pallas, name=f"block{i}")(t)
         if pad_h or pad_w:
             t = t[:, pad_h // 2: pad_h // 2 + H,
                   pad_w // 2: pad_w // 2 + W, :]
