@@ -50,6 +50,12 @@ def main():
     cfg = DCAEConfig(
         compute_dtype=os.environ.get("DCAE_BENCH_DTYPE", "bfloat16"))
     codec = DCAECodec(cfg, seed=0)
+    # DCAE_BENCH_CKPT: benchmark trained weights (realistic bpp — random
+    # weights code at ~4.4 bpp, ~8x a trained model's host-coder load)
+    ckpt = os.environ.get("DCAE_BENCH_CKPT")
+    if ckpt:
+        from dcae_tpu.utils.checkpoint import load_params_only
+        codec = DCAECodec(cfg, params=load_params_only(ckpt, codec.params))
     codec.update(force=True)
 
     images = synthetic_kodak(batch)

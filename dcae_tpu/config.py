@@ -75,6 +75,15 @@ class DCAEConfig:
     # path. Parameter trees are identical either way.
     pallas_attention: bool = False
 
+    # unroll the deep-stage lax.scan at trace time (same stacked param
+    # tree): removes the scan's per-iteration dynamic-slice of ~8 MB of
+    # stacked weights (measured 17% -> 0 of the encode program,
+    # docs/PERF.md) at the cost of compile time and — under bf16 — of the
+    # 1-call fused encoder's cross-program bit-agreement. Worth enabling
+    # when the host-device dispatch latency is low (co-located serving);
+    # off by default for the high-latency tunnel benched here.
+    unroll_scan: bool = False
+
     @property
     def dict_dim(self) -> int:
         return self.dict_head_dim * self.dict_head_num

@@ -69,6 +69,11 @@ class DCAECodec:
         if (backend == "tpu" and not cfg.pallas_attention
                 and _os.environ.get("DCAE_PALLAS") != "0"):
             cfg = _dc.replace(cfg, pallas_attention=True)
+        # cfg.unroll_scan is NOT auto-enabled: it saves ~8 ms/run of scan
+        # weight-slicing but changes bf16 g_a fusion enough to break the
+        # 1-call fused encoder's bit-agreement (self_check then picks the
+        # 2-call split mode, which costs more than 8 ms on a high-latency
+        # dispatch link). Enable it for co-located deployments.
         self.model = DCAE(cfg, dtype=dtype)
         if params is None:
             dummy = jnp.zeros((1, cfg.pad_multiple, cfg.pad_multiple,
@@ -77,6 +82,21 @@ class DCAECodec:
                 {"params": jax.random.PRNGKey(seed)}, dummy)["params"]
         if device is not None:
             params = jax.device_put(params, device)
+        if dtype == jnp.bfloat16:
+            # store the one-sided transforms' weights in bf16 directly:
+            # flax would cast f32 params to bf16 at every use anyway
+            # (convert ops measured ~7% of encode device time), and the
+            # lax.scan over the deep stage re-reads its stacked weights
+            # every iteration — half the bytes. Entropy-side nets keep f32
+            # masters (their math must be bitwise reproducible).
+            cast = lambda t: jax.tree.map(  # noqa: E731
+                lambda a: a.astype(jnp.bfloat16)
+                if (hasattr(a, "dtype") and a.dtype == jnp.float32) else a,
+                t)
+            params = dict(params)
+            for k in ("g_a", "g_s", "h_a"):
+                if k in params:
+                    params[k] = cast(params[k])
         self.params = params
         self.tables = tables
         self._scale_table = get_scale_table(cfg.scales_min, cfg.scales_max,

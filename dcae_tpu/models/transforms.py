@@ -36,17 +36,17 @@ class GAnalysis(nn.Module):
         h = ResidualBottleneckBlockWithStride(f[0], dtype=self.dtype,
                                               name="down0")(x)
         h = SwinStack(cfg.head_dim[0], cfg.window_size, cfg.block_num[0],
-                      dtype=self.dtype, pallas=cfg.pallas_attention,
+                      dtype=self.dtype, pallas=cfg.pallas_attention, unroll=cfg.unroll_scan,
                       name="swin1")(h)
         h = ResidualBottleneckBlockWithStride(f[1], dtype=self.dtype,
                                               name="down1")(h)
         h = SwinStack(cfg.head_dim[1], cfg.window_size, cfg.block_num[1],
-                      dtype=self.dtype, pallas=cfg.pallas_attention,
+                      dtype=self.dtype, pallas=cfg.pallas_attention, unroll=cfg.unroll_scan,
                       name="swin2")(h)
         h = ResidualBottleneckBlockWithStride(f[2], dtype=self.dtype,
                                               name="down2")(h)
         h = SwinStack(cfg.head_dim[2], cfg.window_size, cfg.block_num[2],
-                      dtype=self.dtype, pallas=cfg.pallas_attention,
+                      dtype=self.dtype, pallas=cfg.pallas_attention, unroll=cfg.unroll_scan,
                       name="swin3")(h)
         return Conv(cfg.M, 5, stride=2, dtype=self.dtype, name="down3")(h)
 
@@ -63,17 +63,17 @@ class GSynthesis(nn.Module):
         f = cfg.feature_dim
         h = Deconv(f[2], 5, 2, dtype=self.dtype, name="up0")(y)
         h = SwinStack(cfg.head_dim[3], cfg.window_size, cfg.block_num[2],
-                      dtype=self.dtype, pallas=cfg.pallas_attention,
+                      dtype=self.dtype, pallas=cfg.pallas_attention, unroll=cfg.unroll_scan,
                       name="swin1")(h)
         h = ResidualBottleneckBlockWithUpsample(f[1], dtype=self.dtype,
                                                 name="up1")(h)
         h = SwinStack(cfg.head_dim[4], cfg.window_size, cfg.block_num[1],
-                      dtype=self.dtype, pallas=cfg.pallas_attention,
+                      dtype=self.dtype, pallas=cfg.pallas_attention, unroll=cfg.unroll_scan,
                       name="swin2")(h)
         h = ResidualBottleneckBlockWithUpsample(f[0], dtype=self.dtype,
                                                 name="up2")(h)
         h = SwinStack(cfg.head_dim[5], cfg.window_size, cfg.block_num[0],
-                      dtype=self.dtype, pallas=cfg.pallas_attention,
+                      dtype=self.dtype, pallas=cfg.pallas_attention, unroll=cfg.unroll_scan,
                       name="swin3")(h)
         return ResidualBottleneckBlockWithUpsample(
             cfg.out_channels, dtype=self.dtype, name="up3")(h)

@@ -284,6 +284,7 @@ class SwinStack(nn.Module):
     block_num: int
     dtype: Optional[Dtype] = None
     pallas: bool = False
+    unroll: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -299,7 +300,8 @@ class SwinStack(nn.Module):
             scan = nn.scan(SwinPair,
                            variable_axes={"params": 0},
                            split_rngs={"params": True},
-                           length=self.block_num // 2)
+                           length=self.block_num // 2,
+                           unroll=self.block_num // 2 if self.unroll else 1)
             t, _ = scan(self.head_dim, w, dtype=self.dtype,
                         pallas=self.pallas, name="pairs")(t, None)
         else:

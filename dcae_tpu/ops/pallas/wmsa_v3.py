@@ -109,6 +109,13 @@ def fused_wmsa_v3(x, wqkv, bqkv, wproj, bproj, rel_table, *, window: int,
     ids = np.tile(_window_type_ids(nh, nw, shifted), B)
     ids = np.concatenate([ids, np.zeros(pad, np.int32)])
 
+    # kernel math is f32 whatever the stored weight dtype (weights are
+    # tiny next to activations, so the cast is noise)
+    wqkv = wqkv.astype(jnp.float32)
+    bqkv = bqkv.astype(jnp.float32)
+    wproj = wproj.astype(jnp.float32)
+    bproj = bproj.astype(jnp.float32)
+    rel_table = rel_table.astype(jnp.float32)
     # reference packs qkv output channels head-major: c = h*D + d
     wq, wk, wv = (wqkv[:, 0:C], wqkv[:, C:2 * C], wqkv[:, 2 * C:3 * C])
     bq, bk, bv = (bqkv[0:C].reshape(1, C), bqkv[C:2 * C].reshape(1, C),
