@@ -57,6 +57,7 @@ class TestForward:
         assert not np.allclose(np.asarray(out1["likelihoods"]["y"]),
                                np.asarray(out2["likelihoods"]["y"]))
 
+    @pytest.mark.slow  # 60s+ of grad-graph compile; deep check, --runslow
     def test_grads_flow_everywhere(self, tiny_codec, image):
         """RD loss must reach analysis, synthesis, hyper, dictionary and
         context nets (find_unused_parameters must never be needed)."""

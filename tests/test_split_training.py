@@ -35,6 +35,7 @@ def test_halves_partition(setup):
     assert set(merge_halves(enc, dec)) == set(params)
 
 
+@pytest.mark.slow
 def test_split_grads_match_composed_reference(setup):
     """Stitched two-device VJP == one-shot grad of the same composed
     computation (identical rng streams)."""
