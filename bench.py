@@ -97,8 +97,8 @@ def main():
         t1 = time.perf_counter()
         # n-way interleaved decode of sub-batches hides one job's host rANS
         # and dispatch latency behind another's device step
-        n_jobs = min(int(os.environ.get("DCAE_BENCH_DECODE_JOBS", "2")),
-                     batch)
+        n_jobs = max(1, min(int(os.environ.get("DCAE_BENCH_DECODE_JOBS",
+                                               "2")), batch))
         while batch % n_jobs:
             n_jobs -= 1
         per = batch // n_jobs
@@ -129,7 +129,8 @@ def main():
             "bpp": round(total_bytes * 8 / (n_images * 512 * 768), 4),
             "rounds": r,
             "encode_mode": codec.encode_mode,
-            "fused_encoder": fused_ok,
+            "fused_encoder": codec.encode_mode == "fused",
+            "fast_encoder": fused_ok,
             "device": str(jax.devices()[0]),
         },
     }

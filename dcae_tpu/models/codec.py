@@ -55,7 +55,6 @@ class DCAECodec:
         placement, ref models/dcae_1.py:697-699,782-784; here placement is
         per-codec — build one codec per device role). Params are committed
         to the device; jitted programs follow their inputs' placement."""
-        self.cfg = cfg
         self.device = device
         if dtype is None and cfg.compute_dtype == "bfloat16":
             dtype = jnp.bfloat16
@@ -74,6 +73,7 @@ class DCAECodec:
         # 1-call fused encoder's bit-agreement (self_check then picks the
         # 2-call split mode, which costs more than 8 ms on a high-latency
         # dispatch link). Enable it for co-located deployments.
+        self.cfg = cfg  # the cfg the model is actually built from
         self.model = DCAE(cfg, dtype=dtype)
         if params is None:
             dummy = jnp.zeros((1, cfg.pad_multiple, cfg.pad_multiple,

@@ -240,43 +240,10 @@ class DCAE(nn.Module):
         exactly so encoder and decoder contexts agree.
         (ref compress(): models/dcae.py:698-761)
         """
-        cfg = self.cfg
-        y = self.g_a(x).astype(jnp.float32)
-        B, y_h, y_w, _ = y.shape
-        z = self.h_a(y).astype(jnp.float32)
-        medians = self.eb_medians().reshape(1, 1, 1, -1)
-        z_symbols = jnp.round(z - medians).astype(jnp.int32)
-        z_hat = z_symbols.astype(jnp.float32) + medians
-
-        latent_scales, latent_means = self.hyper_synthesis(z_hat)
-
-        y_slices = jnp.split(y, cfg.num_slices, axis=-1)
-        y_hat_slices: List[jax.Array] = []
-        sym_list, idx_list = [], []
-        for i, y_slice in enumerate(y_slices):
-            support, mu, sigma = self._slice_context(
-                i, latent_scales, latent_means, y_hat_slices, y_h, y_w)
-            indexes = gaussian.build_indexes(
-                sigma, scale_table, cfg.scales_min).astype(jnp.uint8)
-            symbols = jnp.round(y_slice - mu).astype(jnp.int32)
-            y_hat_slice = symbols.astype(jnp.float32) + mu
-            sym_list.append(symbols)
-            idx_list.append(indexes)
-            y_hat_slice = y_hat_slice + self._slice_lrp(i, support,
-                                                        y_hat_slice)
-            y_hat_slices.append(y_hat_slice)
-
-        y_symbols = jnp.stack(sym_list)
-        # int16 copy for the (bandwidth-limited) host fetch; the int32
-        # original is only pulled when a symbol overflows int16 (pathological
-        # inputs / untrained params)
-        return {
-            "z_symbols": z_symbols,
-            "y_symbols": y_symbols,
-            "y_symbols16": y_symbols.astype(jnp.int16),
-            "y_overflow": jnp.any(jnp.abs(y_symbols) > 32767),
-            "y_indexes": jnp.stack(idx_list),
-        }
+        y, z_symbols, z_hat = self.encode_analysis(x)
+        out = self.encode_rest(y, z_hat, scale_table)
+        out["z_symbols"] = z_symbols
+        return out
 
     def encode_rest(self, y: jax.Array, z_hat: jax.Array,
                     scale_table: jax.Array):

@@ -79,11 +79,6 @@ def _head_mask(heads: int, p: int, head_dim: int) -> np.ndarray:
     return m
 
 
-def _packed_bias(rel: np.ndarray, heads: int, p: int) -> np.ndarray:
-    """(H*P, P): rel-pos bias rows packed head-major (row h*P+t = rel[h,t])."""
-    return np.ascontiguousarray(rel).reshape(heads * p, p)
-
-
 @functools.partial(jax.jit, static_argnames=("window", "heads", "shifted",
                                              "tile_w", "interpret"))
 def fused_wmsa_v3(x, wqkv, bqkv, wproj, bproj, rel_table, *, window: int,

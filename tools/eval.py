@@ -65,9 +65,12 @@ def two_phase(codec, a):
         bpps.append(b_)
         psnrs.append(p_)
         print(f"{path}: psnr {p_:.2f} dB | bpp {b_:.4f}")
-    if bpps:
-        print(f"average: psnr {np.mean(psnrs):.3f} dB | "
-              f"bpp {np.mean(bpps):.4f} over {len(bpps)} images")
+    if not bpps:
+        raise SystemExit(
+            f"no encoded .pkl payloads found in {a.save_path} for "
+            f"{len(files)} images — run --mode compress first")
+    print(f"average: psnr {np.mean(psnrs):.3f} dB | "
+          f"bpp {np.mean(bpps):.4f} over {len(bpps)} images")
 
 
 def main(argv=None):
