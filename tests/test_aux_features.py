@@ -107,3 +107,33 @@ class TestDriftHarness:
         report = debug.compare_dumps(str(tmp_path), "run_a", "run_b")
         assert report, "dump should contain tensors"
         assert all(e.get("equal") for e in report.values()), report
+
+
+class TestCrossDeviceCodec:
+    """tools/eval.py CrossDeviceCodec: separate encoder/decoder codecs
+    (ref eval_1.py device placement) with optional DCAE_6 index shipping."""
+
+    def test_proxy_round_trip(self):
+        import sys as _sys
+        import os as _os
+        _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "tools"))
+        from eval import CrossDeviceCodec
+
+        from dcae_tpu.config import DCAEConfig
+        from dcae_tpu.models.codec import DCAECodec
+
+        cfg = DCAEConfig.tiny()
+        enc = DCAECodec(cfg, seed=0)
+        dec = DCAECodec(cfg, params=enc.params)
+        rng = np.random.default_rng(5)
+        x = rng.uniform(0, 1, (1, cfg.pad_multiple, cfg.pad_multiple, 3)
+                        ).astype(np.float32)
+        for ship in (False, True):
+            cd = CrossDeviceCodec(enc, dec, ship_indexes=ship)
+            cd.update(force=True)
+            out = cd.compress(x)
+            rec = cd.decompress(out["strings"], out["shape"])
+            fwd = np.clip(np.asarray(cd.forward(x)["x_hat"]), 0, 1)
+            np.testing.assert_allclose(np.asarray(rec["x_hat"]), fwd,
+                                       atol=1e-5, err_msg=f"ship={ship}")

@@ -73,6 +73,42 @@ def two_phase(codec, a):
           f"bpp {np.mean(bpps):.4f} over {len(bpps)} images")
 
 
+class CrossDeviceCodec:
+    """compress on one device's codec, decompress on another's (ref
+    eval_1.py: compress(..., device=encoder) / decompress(...,
+    device=decoder)). Reduced-precision platform differences make the
+    recomputed sigma->index mapping drift across heterogeneous devices —
+    exactly the reference's CPU/GPU drift problem — so ship_indexes=True
+    uses the DCAE_6 protocol (encoder ships its coding indexes) for an
+    exact decode."""
+
+    def __init__(self, enc, dec, ship_indexes: bool = False):
+        self.enc, self.dec = enc, dec
+        self.cfg = enc.cfg
+        self.ship = ship_indexes
+        self._indexes = None
+
+    def update(self, *a, **k):
+        changed = self.enc.update(*a, **k)
+        self.dec.tables = self.enc.tables
+        self.dec._scale_table = self.enc._scale_table
+        return changed
+
+    def forward(self, x):
+        return self.enc.forward(x)
+
+    def compress(self, x):
+        if self.ship:
+            out = self.enc.compress_with_indexes(x)
+            self._indexes = out.pop("indexes")
+            return out
+        return self.enc.compress(x)
+
+    def decompress(self, strings, shape):
+        idx, self._indexes = self._indexes, None
+        return self.dec.decompress(strings, shape, indexes=idx)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="DCAE-TPU evaluation")
     p.add_argument("--data", type=str, required=True)
@@ -94,6 +130,14 @@ def main(argv=None):
     p.add_argument("--bd_dataset", type=str, default=None,
                    choices=["Kodak", "CLIC", "Tecnick", "Kodak-msssim"],
                    help="print the golden RD curve for comparison")
+    p.add_argument("--device_encoder", type=str, default=None,
+                   help="device for compress, e.g. tpu:0 / cpu:0 "
+                        "(ref eval_1.py cross-device eval)")
+    p.add_argument("--device_decoder", type=str, default=None)
+    p.add_argument("--ship_indexes", action="store_true",
+                   help="with cross-device eval: encoder ships its coding "
+                        "indexes so heterogeneous-precision decode is "
+                        "exact (ref eval_6.py / DCAE_6)")
     a = p.parse_args(argv)
 
     cfg = DCAEConfig.tiny() if a.tiny else DCAEConfig()
@@ -101,6 +145,20 @@ def main(argv=None):
     if a.checkpoint:
         codec.params = load_params_only(a.checkpoint, codec.params)
         codec.tables = load_tables(a.checkpoint)
+    if a.device_encoder or a.device_decoder:
+        import jax
+
+        def dev(spec):
+            if spec is None:
+                return None
+            kind, _, idx = spec.partition(":")
+            return jax.devices(kind)[int(idx or 0)]
+
+        enc = DCAECodec(cfg, params=codec.params, tables=codec.tables,
+                        device=dev(a.device_encoder))
+        dec = DCAECodec(cfg, params=codec.params, tables=codec.tables,
+                        device=dev(a.device_decoder))
+        codec = CrossDeviceCodec(enc, dec, ship_indexes=a.ship_indexes)
     if a.mode == "size_analysis":
         import json
 
