@@ -271,7 +271,12 @@ class DCAECodec:
     def _finish_fused(self, out) -> dict:
         t = self._require_tables()
         z_sym = np.asarray(jax.device_get(out["z_symbols"]))  # (B,zh,zw,C)
-        if bool(out["y_overflow"]):
+        over8, over16 = jax.device_get((out["y_overflow8"],
+                                        out["y_overflow"]))
+        if not bool(over8):
+            y_sym = np.asarray(jax.device_get(out["y_symbols8"])).astype(
+                np.int32)
+        elif bool(over16):
             y_sym = np.asarray(jax.device_get(out["y_symbols"]))
         else:
             y_sym = np.asarray(jax.device_get(out["y_symbols16"])).astype(

@@ -277,10 +277,15 @@ class DCAE(nn.Module):
             y_hat_slices.append(y_hat_slice)
 
         y_symbols = jnp.stack(sym_list)
+        # narrow copies for the (bandwidth-limited) host fetch: int8 when
+        # every symbol fits (the common case for trained models), int16
+        # fallback, int32 only for pathological inputs
         return {
             "y_symbols": y_symbols,
             "y_symbols16": y_symbols.astype(jnp.int16),
+            "y_symbols8": y_symbols.astype(jnp.int8),
             "y_overflow": jnp.any(jnp.abs(y_symbols) > 32767),
+            "y_overflow8": jnp.any(jnp.abs(y_symbols) > 127),
             "y_indexes": jnp.stack(idx_list),
         }
 
