@@ -83,6 +83,57 @@ def report(fn: Callable, *args, iters: int = 5, warmup: int = 2,
     return out
 
 
+def op_stats(logdir: str, group_fn: Optional[Callable] = None
+             ) -> Dict[str, Dict]:
+    """Parse a jax.profiler trace (written by `trace(logdir)`) into
+    per-op DEVICE-time stats via xprof — the number that is immune to a
+    time-shared chip's duty cycle (wall timings are not). Returns
+    {"total_ms", "by_type": {op_type: ms}, "by_group": {group: ms},
+     "top": [(ms, occurrences, type, op_name), ...]}.
+
+    group_fn(op_name) -> str optionally buckets ops by model region
+    (e.g. lambda op: "g_a" if "/g_a/" in op else "other").
+
+    This is how the round-2 searchsorted discovery was made
+    (docs/PERF.md): gather ops from jit(searchsorted) were 55% of the
+    encode program's device time.
+    """
+    import glob
+    import json as _json
+
+    from xprof.convert import raw_to_tool_data as _rtd
+
+    xs = sorted(glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))
+    if not xs:
+        raise FileNotFoundError(f"no .xplane.pb under {logdir}")
+    data, _ = _rtd.xspace_to_tool_data(xs, "framework_op_stats", {})
+    d = _json.loads(data if isinstance(data, str) else data.decode())
+    tbl = d[0] if isinstance(d, list) else d
+    cols = [c["id"] for c in tbl["cols"]]
+    rows = [[c["v"] if isinstance(c, dict) else c for c in r["c"]]
+            for r in tbl["rows"]]
+    i_dev = cols.index("host_or_device")
+    i_type = cols.index("type")
+    i_op = cols.index("operation")
+    i_tot = cols.index("total_time")
+    i_occ = cols.index("occurrences")
+    dev = [r for r in rows if r[i_dev] == "Device"]
+    if not dev:  # CPU backend traces report ops as Host
+        dev = [r for r in rows if r[i_dev] == "Host"]
+    total = sum(r[i_tot] for r in dev)
+    by_type: Dict[str, float] = {}
+    by_group: Dict[str, float] = {}
+    for r in dev:
+        by_type[r[i_type]] = by_type.get(r[i_type], 0.0) + r[i_tot] / 1e3
+        if group_fn is not None:
+            g = group_fn(str(r[i_op]))
+            by_group[g] = by_group.get(g, 0.0) + r[i_tot] / 1e3
+    top = sorted(((r[i_tot] / 1e3, int(r[i_occ]), r[i_type], str(r[i_op]))
+                  for r in dev), reverse=True)[:25]
+    return {"total_ms": total / 1e3, "by_type": by_type,
+            "by_group": by_group, "top": top}
+
+
 def codec_breakdown(codec, x, iters: int = 3) -> Dict[str, Dict]:
     """Per-subnet timing + utilization of the codec's compiled programs on
     batch x. Returns {subnet: report}."""

@@ -30,3 +30,24 @@ def test_trace_context(tmp_path):
         jnp.ones((8, 8)).sum().block_until_ready()
     import os
     assert any(os.scandir(str(tmp_path)))
+
+
+def test_op_stats_parses_trace(tmp_path):
+    """trace() + op_stats(): capture a tiny device trace and get per-op
+    device-time stats back (the xprof pipeline used for docs/PERF.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcae_tpu.utils.profiling import op_stats, trace
+
+    f = jax.jit(lambda a, b: jnp.tanh(a @ b).sum())
+    x = jnp.ones((256, 256))
+    jax.block_until_ready(f(x, x))
+    logdir = str(tmp_path / "tr")
+    with trace(logdir):
+        jax.block_until_ready(f(x, x))
+    s = op_stats(logdir, group_fn=lambda op: "matmul" if "dot" in op
+                 else "other")
+    assert s["total_ms"] >= 0
+    assert isinstance(s["by_type"], dict) and s["top"]
+    assert set(s["by_group"]) <= {"matmul", "other"}
