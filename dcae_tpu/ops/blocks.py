@@ -134,15 +134,17 @@ class WMSA(nn.Module):
 
         # v3 fused kernel (sublane head packing, fully VMEM-resident):
         # wins where activation traffic dominates (high-res stages) and ties
-        # elsewhere — enabled for all window-8 stages. Inference-only (no
-        # VJP); the codec turns it on via cfg.pallas_attention. DCAE_PALLAS
-        # env: "0" force-disables, "1" force-enables (benchmarks).
+        # elsewhere — enabled for all window-8 stages. Trainable: the custom
+        # VJP runs the fused kernel forward and an einsum-recompute backward
+        # (no stored attention residuals). The codec turns it on via
+        # cfg.pallas_attention. DCAE_PALLAS env: "0" force-disables, "1"
+        # force-enables (benchmarks).
         env = os.environ.get("DCAE_PALLAS")
         use_pallas = (self.pallas if env is None else env == "1") and w == 8
         if use_pallas:
-            from dcae_tpu.ops.pallas.wmsa_v3 import fused_wmsa_v3
+            from dcae_tpu.ops.pallas.wmsa_v3 import wmsa_v3_trainable
 
-            return fused_wmsa_v3(
+            return wmsa_v3_trainable(
                 x, qkv_kernel, qkv_bias, proj_kernel, proj_bias, rel_table,
                 window=w, heads=heads, shifted=self.shifted).astype(x.dtype)
 

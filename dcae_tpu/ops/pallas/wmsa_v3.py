@@ -37,7 +37,47 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dcae_tpu.ops.pallas.wmsa import _mask_bank, _window_type_ids
+
+def _window_type_ids(nh: int, nw: int, shifted: bool) -> np.ndarray:
+    """0 = interior, 1 = right edge, 2 = bottom edge, 3 = corner."""
+    if not shifted:
+        return np.zeros((nh * nw,), np.int32)
+    ids = np.zeros((nh, nw), np.int32)
+    ids[:, -1] = 1
+    ids[-1, :] = 2
+    ids[-1, -1] = 3
+    return ids.reshape(-1)
+
+
+def _mask_bank(p_tokens: int, window: int, shifted: bool) -> np.ndarray:
+    """(4, P, P) additive shifted-window masks for the 4 window types
+    (interior / right edge / bottom edge / corner); the cyclic shift makes
+    edge windows contain tokens from two image regions that must not attend
+    to each other (ref /root/reference/models/dcae.py:266-283
+    generate_mask)."""
+    bank = np.zeros((4, p_tokens, p_tokens), np.float32)
+    if not shifted:
+        return bank
+    w = window
+    s = w - w // 2
+    neg = np.float32(-1e30)
+
+    def block(horizontal):
+        m = np.zeros((w, w, w, w), bool)
+        if horizontal:  # split along the second (col) axis
+            m[:, :s, :, s:] = True
+            m[:, s:, :, :s] = True
+        else:           # split along the first (row) axis
+            m[:s, :, s:, :] = True
+            m[s:, :, :s, :] = True
+        return m.reshape(p_tokens, p_tokens)
+
+    right = block(horizontal=True)    # cols wrap
+    bottom = block(horizontal=False)  # rows wrap
+    bank[1][right] = neg
+    bank[2][bottom] = neg
+    bank[3][right | bottom] = neg
+    return bank
 
 
 def _kernel(ids_ref, xw_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
@@ -164,3 +204,94 @@ def fused_wmsa_v3(x, wqkv, bqkv, wproj, bproj, rel_table, *, window: int,
     if shifted:
         out = jnp.roll(out, shift=(w // 2, w // 2), axis=(1, 2))
     return out
+
+
+# ---------------------------------------------------------------- training --
+# The kernel above has no Pallas backward; training uses a custom VJP whose
+# forward IS the fused kernel (no residuals beyond the inputs) and whose
+# backward differentiates a mathematically-identical einsum restatement.
+# This is rematerialization by construction: the attention matrices are
+# never stored to HBM on the forward pass (the einsum path's residual
+# traffic is the cost being removed), and the backward recomputes them once
+# inside one fused XLA program.
+
+
+def _wmsa_einsum_f32(x, wqkv, bqkv, wproj, bproj, rel_table, *, window: int,
+                     heads: int, shifted: bool):
+    """Pure-f32 einsum restatement of the kernel's math (for the VJP)."""
+    B, H, W, C = x.shape
+    w = window
+    head_dim = C // heads
+    p = w * w
+    x = x.astype(jnp.float32)
+    if shifted:
+        x = jnp.roll(x, shift=(-(w // 2), -(w // 2)), axis=(1, 2))
+    nh, nw = H // w, W // w
+    xw = x.reshape(B, nh, w, nw, w, C).transpose(0, 1, 3, 2, 4, 5)
+    xw = xw.reshape(B, nh * nw, p, C)
+
+    qkv = jnp.dot(xw, wqkv.astype(jnp.float32),
+                  preferred_element_type=jnp.float32) \
+        + bqkv.astype(jnp.float32)
+    qkv = qkv.reshape(B, nh * nw, p, 3, heads, head_dim)
+    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+    sim = jnp.einsum("bnphd,bnqhd->bhnpq", q, k,
+                     preferred_element_type=jnp.float32) * head_dim ** -0.5
+
+    coords = np.array([[i, j] for i in range(w) for j in range(w)])
+    rel_idx = coords[:, None, :] - coords[None, :, :] + w - 1
+    rel = rel_table.astype(jnp.float32)[:, rel_idx[:, :, 0], rel_idx[:, :, 1]]
+    sim = sim + rel[None, :, None, :, :]
+
+    ids = _window_type_ids(nh, nw, shifted)              # (nh*nw,)
+    bank = _mask_bank(p, w, shifted)                     # (4, P, P) additive
+    sim = sim + jnp.asarray(bank[ids])[None, None]
+
+    probs = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum("bhnpq,bnqhd->bnphd", probs, v,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(B, nh * nw, p, C)
+    out = jnp.dot(out, wproj.astype(jnp.float32),
+                  preferred_element_type=jnp.float32) \
+        + bproj.astype(jnp.float32)
+    out = out.reshape(B, nh, nw, w, w, C).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(B, H, W, C)
+    if shifted:
+        out = jnp.roll(out, shift=(w // 2, w // 2), axis=(1, 2))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _wmsa_v3_vjp(window, heads, shifted, interpret, x, wqkv, bqkv, wproj,
+                 bproj, rel_table):
+    return fused_wmsa_v3(x, wqkv, bqkv, wproj, bproj, rel_table,
+                         window=window, heads=heads, shifted=shifted,
+                         interpret=interpret)
+
+
+def _wmsa_v3_fwd(window, heads, shifted, interpret, x, wqkv, bqkv, wproj,
+                 bproj, rel_table):
+    out = _wmsa_v3_vjp(window, heads, shifted, interpret, x, wqkv, bqkv,
+                       wproj, bproj, rel_table)
+    return out, (x, wqkv, bqkv, wproj, bproj, rel_table)
+
+
+def _wmsa_v3_bwd(window, heads, shifted, interpret, res, g):
+    fn = functools.partial(_wmsa_einsum_f32, window=window, heads=heads,
+                           shifted=shifted)
+    _, vjp = jax.vjp(fn, *res)
+    return vjp(g.astype(jnp.float32))
+
+
+_wmsa_v3_vjp.defvjp(_wmsa_v3_fwd, _wmsa_v3_bwd)
+
+
+def wmsa_v3_trainable(x, wqkv, bqkv, wproj, bproj, rel_table, *, window: int,
+                      heads: int, shifted: bool, interpret: bool = False):
+    """fused_wmsa_v3 with gradients: fused Pallas forward, einsum-recompute
+    backward (one XLA program, no stored attention residuals). Inputs are
+    promoted to f32 (the kernel computes f32 regardless); grads flow back
+    to the original dtypes through the casts."""
+    args = [a.astype(jnp.float32) for a in
+            (x, wqkv, bqkv, wproj, bproj, rel_table)]
+    return _wmsa_v3_vjp(window, heads, shifted, interpret, *args)

@@ -79,8 +79,34 @@ class BitstreamServer:
             finally:
                 conn.close()
 
+    @staticmethod
+    def _read_header(conn: socket.socket) -> str:
+        """Read the 'name|size' header, tolerating TCP fragmentation. The
+        wire format has no terminator (the client sends the header with one
+        sendall then blocks on the ACK), so: accumulate until the buffer
+        parses as a complete header AND the peer pauses — a trailing-digit
+        drain window disambiguates 'name|12' from 'name|123' in flight.
+        (The reference server assumes one recv() returns the whole header,
+        server.py:24-30 — true on localhost only.)"""
+        buf = b""
+        while len(buf) < 4096:
+            name_size = buf.rsplit(b"|", 1)
+            parsed = len(name_size) == 2 and name_size[1].isdigit()
+            conn.settimeout(0.25 if parsed else 30.0)
+            try:
+                data = conn.recv(4096)
+            except socket.timeout:
+                if parsed:
+                    break
+                raise
+            if not data:
+                break
+            buf += data
+        conn.settimeout(60.0)
+        return buf.decode()
+
     def _handle(self, conn: socket.socket) -> None:
-        header = conn.recv(4096).decode()
+        header = self._read_header(conn)
         if not header or "|" not in header:
             return
         name, size_s = header.rsplit("|", 1)

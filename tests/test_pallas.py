@@ -7,49 +7,12 @@ import jax.numpy as jnp
 import pytest
 
 from dcae_tpu.ops.blocks import WMSA
-from dcae_tpu.ops.pallas.wmsa import fused_wmsa
-
-
-@pytest.mark.parametrize("shifted", [False, True])
-def test_fused_wmsa_matches_einsum(shifted, rng):
-    window, head_dim, C = 4, 8, 16
-    heads = C // head_dim
-    x = jnp.asarray(rng.normal(0, 1, (2, 8, 12, C)).astype(np.float32))
-
-    m = WMSA(head_dim=head_dim, window_size=window, shifted=shifted)
-    variables = m.init(jax.random.PRNGKey(0), x)
-    want = np.asarray(m.apply(variables, x))
-
-    p = variables["params"]
-    dummy = jnp.zeros((C,), jnp.float32)
-    got = fused_wmsa(
-        x, dummy, dummy, p["qkv_kernel"], p["qkv_bias"], p["proj_kernel"],
-        p["proj_bias"], p["relative_position"], window=window, heads=heads,
-        shifted=shifted, tile_w=4, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
-
-
-def test_fused_wmsa_tile_padding(rng):
-    """Window count not divisible by the tile must still be exact."""
-    window, head_dim, C = 4, 8, 16
-    x = jnp.asarray(rng.normal(0, 1, (1, 4, 12, C)).astype(np.float32))
-    m = WMSA(head_dim=head_dim, window_size=window, shifted=False)
-    variables = m.init(jax.random.PRNGKey(1), x)
-    want = np.asarray(m.apply(variables, x))
-    p = variables["params"]
-    dummy = jnp.zeros((C,), jnp.float32)
-    got = fused_wmsa(
-        x, dummy, dummy, p["qkv_kernel"], p["qkv_bias"], p["proj_kernel"],
-        p["proj_bias"], p["relative_position"], window=window,
-        heads=C // head_dim, shifted=False, tile_w=8, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+from dcae_tpu.ops.pallas.wmsa_v3 import fused_wmsa_v3
 
 
 @pytest.mark.parametrize("shifted", [False, True])
 def test_fused_wmsa_v3_matches_einsum(shifted, rng):
     """v3 (sublane head packing, fully VMEM-resident) vs the einsum path."""
-    from dcae_tpu.ops.pallas.wmsa_v3 import fused_wmsa_v3
-
     window, head_dim, C = 4, 8, 24  # 3 heads
     heads = C // head_dim
     x = jnp.asarray(rng.normal(0, 1, (2, 8, 12, C)).astype(np.float32))
@@ -65,8 +28,7 @@ def test_fused_wmsa_v3_matches_einsum(shifted, rng):
 
 
 def test_fused_wmsa_v3_tile_padding(rng):
-    from dcae_tpu.ops.pallas.wmsa_v3 import fused_wmsa_v3
-
+    """Window count not divisible by the tile must still be exact."""
     window, head_dim, C = 4, 8, 16
     x = jnp.asarray(rng.normal(0, 1, (1, 4, 12, C)).astype(np.float32))
     m = WMSA(head_dim=head_dim, window_size=window, shifted=False)
@@ -78,3 +40,34 @@ def test_fused_wmsa_v3_tile_padding(rng):
         p["relative_position"], window=window, heads=C // head_dim,
         shifted=False, tile_w=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_fused_wmsa_v3_grad_matches_einsum(shifted, rng):
+    """The custom VJP (training path) must match einsum gradients."""
+    from dcae_tpu.ops.pallas.wmsa_v3 import wmsa_v3_trainable
+
+    window, head_dim, C = 4, 8, 16
+    heads = C // head_dim
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, C)).astype(np.float32))
+    m = WMSA(head_dim=head_dim, window_size=window, shifted=shifted)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    p = variables["params"]
+    args = (x, p["qkv_kernel"], p["qkv_bias"], p["proj_kernel"],
+            p["proj_bias"], p["relative_position"])
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(m.apply({"params": {
+            "qkv_kernel": a[1], "qkv_bias": a[2], "proj_kernel": a[3],
+            "proj_bias": a[4], "relative_position": a[5]}}, a[0])))
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.sin(wmsa_v3_trainable(
+            *a, window=window, heads=heads, shifted=shifted,
+            interpret=True)))
+
+    want = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    got = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=3e-5, rtol=1e-4)
