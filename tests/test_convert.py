@@ -53,6 +53,64 @@ def test_export_import_round_trip(tree):
             err_msg=jax.tree_util.keystr(k))
 
 
+def test_real_torch_checkpoint_file_round_trip(tree, tmp_path):
+    """Parse an ACTUAL torch.save artifact (not an in-memory dict): the
+    reference's training checkpoint container {'epoch', 'state_dict'} with
+    DDP 'module.' prefixes (ref train.py:461-463,498-511), through
+    load_torch_state_dict + the converter, must reproduce the source tree
+    exactly (exact tree equality subsumes forward parity, which
+    tests/test_reference_parity.py separately proves for this export)."""
+    torch = pytest.importorskip("torch")
+    cfg, params = tree
+    sd = export_reference_state_dict(params, cfg)
+    blob = {
+        "epoch": 7,
+        "loss": 1.25,
+        "state_dict": {f"module.{k}": torch.from_numpy(
+            np.ascontiguousarray(v)) for k, v in sd.items()},
+        "optimizer": {"state": {}, "param_groups": []},
+    }
+    path = tmp_path / "checkpoint_best_loss.pth.tar"
+    torch.save(blob, str(path))
+
+    from dcae_tpu.utils.convert import load_torch_state_dict
+    loaded = load_torch_state_dict(str(path))
+    assert set(loaded) == set(sd)  # module. prefixes stripped
+    back = convert_reference_state_dict(loaded, cfg)
+    assert validate_converted(back, params) == []
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    for k, v in flat_a:
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(flat_b[k]),
+                                      err_msg=jax.tree_util.keystr(k))
+
+
+def test_real_torch_split_checkpoint_file(tree, tmp_path):
+    """dcae_7-style split checkpoint as a real torch.save file:
+    compress_model./decompress_model. prefixes with the shared modules
+    duplicated on both sides (ref models/dcae_7.py:773-819)."""
+    torch = pytest.importorskip("torch")
+    cfg, params = tree
+    sd = export_reference_state_dict(params, cfg)
+    split = {}
+    for k, v in sd.items():
+        t = torch.from_numpy(np.ascontiguousarray(v))
+        if k.startswith("g_s."):
+            split[f"decompress_model.{k}"] = t
+        else:
+            split[f"compress_model.{k}"] = t
+            if k.startswith(("h_z_s", "dt", "cc_", "lrp_",
+                             "entropy_bottleneck")):
+                split[f"decompress_model.{k}"] = t
+    path = tmp_path / "split.pth"
+    torch.save({"state_dict": split}, str(path))
+
+    from dcae_tpu.utils.convert import load_torch_state_dict
+    back = convert_reference_state_dict(load_torch_state_dict(str(path)),
+                                        cfg)
+    assert validate_converted(back, params) == []
+
+
 def test_split_prefix_checkpoints_collapse(tree):
     """dcae_7-style split checkpoints (compress_model./decompress_model.
     prefixes with duplicated shared modules) load into the flat tree."""
