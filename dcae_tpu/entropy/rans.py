@@ -90,6 +90,17 @@ def _load() -> ctypes.CDLL:
         lib.dcae_pmf_to_quantized_cdf.argtypes = [
             f32p, ctypes.c_int64, ctypes.c_int32, u32p,
         ]
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.dcae_rans_build_lut.restype = ctypes.c_int32
+        lib.dcae_rans_build_lut.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int64, i32p, u16p,
+        ]
+        lib.dcae_rans_dec_decode_lut.restype = ctypes.c_int32
+        lib.dcae_rans_dec_decode_lut.argtypes = [
+            ctypes.c_void_p, i32p, ctypes.c_int64,
+            i32p, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, u16p, i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -143,8 +154,16 @@ def encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets) -> bytes:
 
 
 def decode_with_indexes(stream: bytes, indexes, cdfs, cdf_lengths,
-                        offsets) -> np.ndarray:
+                        offsets, lut: np.ndarray | None = None) -> np.ndarray:
     """One-shot decode of `len(indexes)` symbols from `stream`."""
+    if lut is not None:
+        dec = RansDecoder()
+        dec.set_stream(stream)
+        try:
+            return dec.decode_stream(indexes, cdfs, cdf_lengths, offsets,
+                                     lut=lut)
+        finally:
+            dec.close()
     lib = _load()
     indexes = _as_i32(indexes)
     cdfs, cdf_lengths, offsets = _check_tables(cdfs, cdf_lengths, offsets)
@@ -159,6 +178,25 @@ def decode_with_indexes(stream: bytes, indexes, cdfs, cdf_lengths,
     if rc != 0:
         raise ValueError(f"rANS decode failed (rc={rc})")
     return out
+
+
+PRECISION_SLOTS = 1 << 16
+
+
+def build_decode_lut(cdfs, cdf_lengths) -> np.ndarray:
+    """Tabulate find_symbol: (rows, 2^16) uint16 slot->symbol table.
+    A pure function of the quantized CDFs — build once per table bake
+    (the 64-row Gaussian bank costs 8 MB)."""
+    lib = _load()
+    cdfs = np.ascontiguousarray(np.asarray(cdfs), dtype=np.int32)
+    cdf_lengths = _as_i32(cdf_lengths)
+    lut = np.empty((cdfs.shape[0], PRECISION_SLOTS), dtype=np.uint16)
+    rc = lib.dcae_rans_build_lut(
+        _i32p(cdfs), cdfs.shape[0], cdfs.shape[1], _i32p(cdf_lengths),
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if rc != 0:
+        raise ValueError(f"rANS LUT build failed (rc={rc})")
+    return lut
 
 
 class RansEncoder:
@@ -208,17 +246,33 @@ class RansDecoder:
             raise ValueError("invalid rANS stream")
         self._handle = handle
 
-    def decode_stream(self, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
+    def decode_stream(self, indexes, cdfs, cdf_lengths, offsets,
+                      lut: np.ndarray | None = None) -> np.ndarray:
+        """lut: optional build_decode_lut(cdfs, cdf_lengths) table — same
+        output, ~2-3x faster symbol search (see tests/test_rans.py
+        microbench)."""
         if self._handle is None:
             raise RuntimeError("set_stream must be called first")
         indexes = _as_i32(indexes)
         cdfs, cdf_lengths, offsets = _check_tables(cdfs, cdf_lengths, offsets)
         out = np.empty(indexes.size, dtype=np.int32)
-        rc = self._lib.dcae_rans_dec_decode(
-            self._handle, _i32p(indexes), indexes.size,
-            _i32p(cdfs), cdfs.shape[0], cdfs.shape[1],
-            _i32p(cdf_lengths), _i32p(offsets), _i32p(out),
-        )
+        if lut is not None:
+            if lut.dtype != np.uint16 or lut.shape != (cdfs.shape[0],
+                                                       PRECISION_SLOTS):
+                raise ValueError("bad LUT shape/dtype")
+            rc = self._lib.dcae_rans_dec_decode_lut(
+                self._handle, _i32p(indexes), indexes.size,
+                _i32p(cdfs), cdfs.shape[0], cdfs.shape[1],
+                _i32p(cdf_lengths), _i32p(offsets),
+                lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                _i32p(out),
+            )
+        else:
+            rc = self._lib.dcae_rans_dec_decode(
+                self._handle, _i32p(indexes), indexes.size,
+                _i32p(cdfs), cdfs.shape[0], cdfs.shape[1],
+                _i32p(cdf_lengths), _i32p(offsets), _i32p(out),
+            )
         if rc != 0:
             raise ValueError(f"rANS decode failed (rc={rc})")
         return out

@@ -28,6 +28,17 @@ class CdfTable:
     quantized_cdf: np.ndarray  # int32 [rows, max_len+2]
     cdf_length: np.ndarray     # int32 [rows]  (pmf_length + 2)
     offset: np.ndarray         # int32 [rows]
+    _lut: np.ndarray | None = dataclasses.field(
+        default=None, repr=False, compare=False)
+
+    @property
+    def lut(self) -> np.ndarray:
+        """Slot->symbol decode LUT (uint16 [rows, 2^16]), built lazily once
+        per bake — replaces the decoder's binary search (rans.build_decode_lut)."""
+        if self._lut is None:
+            self._lut = rans.build_decode_lut(self.quantized_cdf,
+                                              self.cdf_length)
+        return self._lut
 
     def as_dict(self, prefix: str) -> dict:
         return {

@@ -421,7 +421,8 @@ class DCAECodec:
             for b in range(self.B):
                 sym = rans.decode_with_indexes(
                     z_strings[b], z_index_flat, t.factorized.quantized_cdf,
-                    t.factorized.cdf_length, t.factorized.offset)
+                    t.factorized.cdf_length, t.factorized.offset,
+                    lut=t.factorized.lut)
                 z_hat[b] = _unflatten_chw(sym.astype(np.float32), zh, zw, C)
             # dequantize around the LIVE medians — exactly what the encoder's
             # device graph used (baked copy may lag a training step)
@@ -451,11 +452,13 @@ class DCAECodec:
             else:
                 idx_np = np.asarray(
                     jax.device_get(self.local_idx)).astype(np.int32)
+            lut = self.t.gaussian.lut  # build once, outside the pool
 
             def decode_one(b: int) -> np.ndarray:
                 flat = self.decoders[b].decode_stream(
                     _nchw_flat(idx_np[b]), self.t.gaussian.quantized_cdf,
-                    self.t.gaussian.cdf_length, self.t.gaussian.offset)
+                    self.t.gaussian.cdf_length, self.t.gaussian.offset,
+                    lut=lut)
                 return _unflatten_chw(flat, self.y_h, self.y_w, self.sd)
 
             return np.stack(list(self.c._pool.map(decode_one,

@@ -264,6 +264,80 @@ int32_t dcae_rans_dec_decode(void *handle, const int32_t *indexes, int64_t n,
   return 0;
 }
 
+// ---- LUT decode: replace the per-symbol binary search with a direct
+// ---- 2^precision-entry slot->symbol table per CDF row. The tables are a
+// ---- pure function of the quantized CDFs (built once per update()); at
+// ---- 64 Gaussian rows they cost 8 MB and turn the decoder's inner loop
+// ---- into two dependent loads (LUT, then the cdf row for start/freq,
+// ---- which stays cache-hot).
+
+// Fill lut_out[row * 2^kPrecision + cum] = symbol for every row.
+// lut_out must hold cdf_rows << kPrecision uint16 entries.
+int32_t dcae_rans_build_lut(const int32_t *cdfs, int64_t cdf_rows,
+                            int64_t cdf_stride, const int32_t *cdf_lengths,
+                            uint16_t *lut_out) {
+  const int64_t slots = 1ll << kPrecision;
+  for (int64_t r = 0; r < cdf_rows; ++r) {
+    const int32_t *cdf = cdfs + r * cdf_stride;
+    const int32_t length = cdf_lengths[r];
+    if (length < 2 || length > cdf_stride ||
+        cdf[length - 1] != static_cast<int32_t>(slots)) {
+      return -2;
+    }
+    uint16_t *lut = lut_out + r * slots;
+    for (int32_t s = 0; s + 1 < length; ++s) {
+      const int32_t lo = cdf[s], hi = cdf[s + 1];
+      if (lo < 0 || hi > slots || hi < lo) return -3;
+      for (int32_t c = lo; c < hi; ++c) lut[c] = static_cast<uint16_t>(s);
+    }
+  }
+  return 0;
+}
+
+// Decode n symbols via the LUT; identical streams/output to
+// dcae_rans_dec_decode (the LUT is exactly find_symbol tabulated).
+int32_t dcae_rans_dec_decode_lut(void *handle, const int32_t *indexes,
+                                 int64_t n, const int32_t *cdfs,
+                                 int64_t cdf_rows, int64_t cdf_stride,
+                                 const int32_t *cdf_lengths,
+                                 const int32_t *offsets, const uint16_t *lut,
+                                 int32_t *out_symbols) {
+  auto *dec = static_cast<RansDecState *>(handle);
+  if (dec == nullptr) return -1;
+  const int64_t slots = 1ll << kPrecision;
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    if (idx < 0 || idx >= cdf_rows) return -2;
+    const int32_t *cdf = cdfs + idx * cdf_stride;
+    const int32_t max_value = cdf_lengths[idx] - 2;
+    if (max_value < 0 || cdf_lengths[idx] > cdf_stride) return -2;
+
+    const uint32_t cum = dec->get();
+    const int32_t s = lut[idx * slots + cum];
+    dec->advance(static_cast<uint32_t>(cdf[s]),
+                 static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+
+    int32_t value = s;
+    if (value == max_value) {
+      uint32_t val = dec->get_bits(kBypassPrecision);
+      uint32_t n_bypass = val;
+      while (val == kMaxBypassVal) {
+        val = dec->get_bits(kBypassPrecision);
+        n_bypass += val;
+      }
+      uint32_t raw_val = 0;
+      for (uint32_t j = 0; j < n_bypass; ++j) {
+        raw_val |= dec->get_bits(kBypassPrecision) << (j * kBypassPrecision);
+      }
+      value = static_cast<int32_t>(raw_val >> 1);
+      value = (raw_val & 1) ? -value - 1 : value + max_value;
+    }
+    out_symbols[i] = value + offsets[idx];
+  }
+  return 0;
+}
+
 // One-shot convenience: init + decode + free.
 int32_t dcae_rans_decode_with_indexes(
     const uint8_t *stream, int64_t size, const int32_t *indexes, int64_t n,
