@@ -118,9 +118,13 @@ class DCAECodec:
         self._forward = jax.jit(
             lambda p, x: model.apply({"params": p}, x, training=False))
 
-        self._encode = jax.jit(
-            lambda p, x, st: model.apply(
-                {"params": p}, x, st, method=DCAE.encode_arrays))
+        def _enc_full(p, x, st):
+            out = dict(model.apply({"params": p}, x, st,
+                                   method=DCAE.encode_arrays))
+            out.update(DCAE.narrow_z(out.pop("z_symbols")))
+            return out
+
+        self._encode = jax.jit(_enc_full)
 
         self._analyze = jax.jit(
             lambda p, x: model.apply(
@@ -269,19 +273,30 @@ class DCAECodec:
         return results
 
     def _finish_fused(self, out) -> dict:
+        """ONE synchronizing device_get for the whole encode hand-off
+        (device_get on a pytree starts every leaf's d2h copy before
+        blocking, so all transfers overlap in a single round trip; per-leaf
+        gets cost ~30 ms each on a tunneled link). The narrow (int8) copies
+        are fetched optimistically; the rare overflow case pays one extra
+        fetch."""
         t = self._require_tables()
-        z_sym = np.asarray(jax.device_get(out["z_symbols"]))  # (B,zh,zw,C)
-        over8, over16 = jax.device_get((out["y_overflow8"],
-                                        out["y_overflow"]))
+        has_z8 = "z_symbols8" in out
+        z_key = "z_symbols8" if has_z8 else "z_symbols"
+        zover = out["z_overflow8"] if has_z8 else False
+        z_val, zover, over8, over16, y8, y_idx = jax.device_get(
+            (out[z_key], zover, out["y_overflow8"], out["y_overflow"],
+             out["y_symbols8"], out["y_indexes"]))
+        if bool(zover):
+            z_val = jax.device_get(out["z_symbols"])
+        z_sym = np.asarray(z_val).astype(np.int32)  # (B,zh,zw,C)
         if not bool(over8):
-            y_sym = np.asarray(jax.device_get(out["y_symbols8"])).astype(
-                np.int32)
+            y_sym = np.asarray(y8).astype(np.int32)
         elif bool(over16):
             y_sym = np.asarray(jax.device_get(out["y_symbols"]))
         else:
             y_sym = np.asarray(jax.device_get(out["y_symbols16"])).astype(
                 np.int32)
-        y_idx = np.asarray(jax.device_get(out["y_indexes"]))  # uint8
+        y_idx = np.asarray(y_idx)  # uint8
 
         B, zh, zw, _ = z_sym.shape
         z_strings = self._encode_z(z_sym)
@@ -323,8 +338,9 @@ class DCAECodec:
                 y_hat, support, mu, indexes = self._step(
                     i, self.params, ls, lm, y_hat, support, mu,
                     jnp.asarray(symbols, jnp.float32), st)
-            mu_np = np.asarray(jax.device_get(mu))
-            idx_np = np.asarray(jax.device_get(indexes)).astype(np.int32)
+            mu_np, idx_np = jax.device_get((mu, indexes))  # one round trip
+            mu_np = np.asarray(mu_np)
+            idx_np = np.asarray(idx_np).astype(np.int32)
             y_slice = y_np[..., i * sd: (i + 1) * sd]
             symbols = np.round(y_slice - mu_np).astype(np.int32)
             for b in range(B):
@@ -440,10 +456,21 @@ class DCAECodec:
             (self.ls, self.lm, self.support, self.mu,
              self.local_idx) = codec._start(codec.params,
                                             jnp.asarray(z_hat), self.st)
+            self._start_idx_copy()
             self.y_hat = jnp.zeros((self.B, self.y_h, self.y_w, 0),
                                    jnp.float32)
             self.slice_index = 0
             self.x_hat = None
+
+        def _start_idx_copy(self):
+            """Enqueue the d2h copy of the indexes the moment the producing
+            program is dispatched, so the transfer overlaps the other
+            interleaved jobs' work instead of starting at the blocking
+            device_get."""
+            try:
+                self.local_idx.copy_to_host_async()
+            except AttributeError:
+                pass
 
         def _host_decode(self) -> np.ndarray:
             if self.indexes is not None:  # encoder-shipped (DCAE_6 mode)
@@ -477,6 +504,7 @@ class DCAECodec:
                  self.local_idx) = self.c._step(
                     i, self.c.params, self.ls, self.lm, self.y_hat,
                     self.support, self.mu, symbols, self.st)
+                self._start_idx_copy()
                 self.slice_index = i
                 return True
             self.x_hat = self.c._end(self.c.params, self.y_hat,

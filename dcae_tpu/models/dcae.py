@@ -289,6 +289,17 @@ class DCAE(nn.Module):
             "y_indexes": jnp.stack(idx_list),
         }
 
+    @staticmethod
+    def narrow_z(z_symbols: jax.Array) -> dict:
+        """int8 copy of the z symbols for the host fetch (trained-model z
+        symbols are tiny; the int32 original stays available for the
+        pathological case)."""
+        return {
+            "z_symbols": z_symbols,
+            "z_symbols8": z_symbols.astype(jnp.int8),
+            "z_overflow8": jnp.any(jnp.abs(z_symbols) > 127),
+        }
+
     def encode_analysis(self, x: jax.Array):
         """Encoder-only front half: (y, z_symbols, z_hat) for the staged
         compress path (the rest reuses the decoder's programs)."""

@@ -10,6 +10,7 @@ all matmuls carry float32 accumulation on the MXU.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -246,8 +247,31 @@ class ResScaleConvolutionGateBlock(nn.Module):
         h = WMSA(self.head_dim, self.window_size, self.shifted,
                  dtype=self.dtype, pallas=self.pallas, name="msa")(h)
         x = Scale(dim, name="res_scale_1")(x) + h
-        h = LayerNorm(dtype=self.dtype, name="ln2")(x)
-        h = ConvolutionalGLU(dim * 4, dtype=self.dtype, name="mlp")(h)
+
+        # fused LN2+GLU Pallas kernel (VMEM-resident fc1/dwconv/gate/fc2 —
+        # the GLU's 2h-wide intermediates are the largest non-attention HBM
+        # traffic). Params are declared by the module path during init and
+        # read through self.variables at apply time, so the parameter tree
+        # (and every existing checkpoint) is unchanged.
+        from dcae_tpu.ops.pallas.conv_glu import conv_glu_trainable, supported
+
+        env = os.environ.get("DCAE_PALLAS")
+        use_pallas = (self.pallas if env is None else env == "1") \
+            and not self.is_initializing() \
+            and supported(x.shape[1], x.shape[2], dim, dim * 2)
+        if use_pallas:
+            p = self.variables["params"]
+            lnp, mlp = p["ln2"]["ln"], p["mlp"]
+            dwk = mlp["dwconv"]["dw"]["conv"]["kernel"]
+            h = conv_glu_trainable(
+                x, lnp["scale"], lnp["bias"],
+                mlp["fc1"]["dense"]["kernel"], mlp["fc1"]["dense"]["bias"],
+                dwk.reshape(3, 3, -1), mlp["dwconv"]["dw"]["conv"]["bias"],
+                mlp["fc2"]["dense"]["kernel"], mlp["fc2"]["dense"]["bias"],
+                apply_ln=True).astype(x.dtype)
+        else:
+            h = LayerNorm(dtype=self.dtype, name="ln2")(x)
+            h = ConvolutionalGLU(dim * 4, dtype=self.dtype, name="mlp")(h)
         return Scale(dim, name="res_scale_2")(x) + h
 
 
