@@ -53,8 +53,10 @@ def bd_rate(ref_bpp: Sequence[float], ref_q: Sequence[float],
     lr_ref = np.log(ref_bpp)
     lr_test = np.log(test_bpp)
 
-    p_ref = np.polyfit(ref_q, lr_ref, 3)
-    p_test = np.polyfit(test_q, lr_test, 3)
+    # cubic when the curve has >=4 points (the standard Bjontegaard fit);
+    # degrade gracefully for short curves instead of a rank-deficient fit
+    p_ref = np.polyfit(ref_q, lr_ref, min(3, len(ref_q) - 1))
+    p_test = np.polyfit(test_q, lr_test, min(3, len(test_q) - 1))
 
     lo = max(ref_q.min(), test_q.min())
     hi = min(ref_q.max(), test_q.max())

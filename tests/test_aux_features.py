@@ -23,6 +23,17 @@ class TestBDRate:
         got = rd_reference.bd_rate(bpp, psnr, bpp / 2, psnr)
         assert abs(got - (-50.0)) < 1e-6
 
+    def test_disjoint_quality_ranges_rejected(self):
+        # measured points from the round-3 sweep (docs/RD_VALIDATION.md):
+        # training moved the whole curve ~0.8 dB up between epochs 80 and
+        # 120, so the quality ranges do not overlap and BD-rate must
+        # refuse rather than extrapolate
+        with pytest.raises(ValueError, match="overlap"):
+            rd_reference.bd_rate([0.0781, 0.1255, 0.1362],
+                                 [24.68, 25.11, 25.14],
+                                 [0.0747, 0.1299, 0.1411],
+                                 [25.39, 25.90, 25.89])
+
     def test_golden_tables_shape(self):
         for name, t in rd_reference.REFERENCE_RD.items():
             assert len(t["bpp"]) == 6, name
