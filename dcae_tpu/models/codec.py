@@ -385,16 +385,30 @@ class DCAECodec:
         }
 
     def self_check(self, image=None) -> bool:
-        """Compress one image with every encoder mode; enable the fastest
+        """Compress one image with the fast encoder modes; enable the first
         whose stream bit-matches the staged (decoder-replay) reference.
-        Returns True when a fast path (fused or split) is now on."""
+        Returns True when a fast path (split or fused) is now on.
+
+        split is preferred over fused: with bf16 analysis transforms the
+        fused single-program encoder recomputes y inside its own XLA
+        program, and bf16 rounding is fusion-context-sensitive — measured
+        on a trained checkpoint, y differs across two jits of the same
+        function by up to 2^-6 on 79% of elements, flipping ~1% of the
+        sigma->index rows; one flipped index desynchronizes the serial
+        rANS stream, so the decode replay diverges catastrophically
+        (45-100% of symbols, docs/PERF.md "Cross-program determinism").
+        split shares the _analyze program's y/z with the staged path (and
+        all math after y is f32), so its bit-agreement survives trained
+        weights, and after the single-round-trip hand-off it costs the
+        same wall time as fused. Checking split first also avoids
+        compiling the big fused program at all in the common case."""
         if image is None:
             rng = np.random.default_rng(0)
             p = self.cfg.pad_multiple
             image = rng.uniform(0, 1, (1, p, p, self.cfg.in_channels)
                                 ).astype(np.float32)
         staged = self.compress(image, mode="staged")
-        for mode in ("fused", "split"):
+        for mode in ("split", "fused"):
             if self.compress(image, mode=mode)["strings"] \
                     == staged["strings"]:
                 self.encode_mode = mode
@@ -523,6 +537,66 @@ class DCAECodec:
         while job.advance():
             pass
         return {"x_hat": job.x_hat}
+
+    def encdec_pipeline(self, batches: Sequence, decode_jobs: int = 1,
+                        queue_depth: int = 2) -> List[dict]:
+        """Steady-state serving loop: encode of batch i+1 overlaps decode of
+        batch i, so throughput is set by max(encode, decode) per batch
+        instead of their sum (the reference serves encode and decode from
+        different processes/devices for the same reason, ref rpc/server.py
+        + models/dcae_1.py's encoder/decoder device split).
+
+        A dedicated producer thread runs compress() — its device_get waits
+        and GIL-free C rANS leave the interpreter mostly idle, so the
+        consumer's decode driver genuinely runs in parallel even on one
+        core; the chip itself serializes device programs, which is fine
+        because both stages are dispatch/host-bound on a tunneled link.
+        queue_depth bounds in-flight encodes (device memory backpressure).
+
+        Returns per-batch dicts {"strings", "shape", "x_hat"} in order."""
+        import queue as _queue
+        import threading
+
+        batches = list(batches)
+        q: "_queue.Queue" = _queue.Queue(maxsize=max(1, queue_depth))
+        err: List[BaseException] = []
+
+        def producer():
+            try:
+                for x in batches:
+                    q.put(self.compress(x))
+            except BaseException as e:  # surface in the consumer
+                err.append(e)
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        results: List[dict] = []
+        for _ in batches:
+            enc = q.get()
+            if enc is None:
+                break
+            B = len(enc["strings"][1])
+            n = max(1, min(decode_jobs, B))
+            while B % n:
+                n -= 1
+            if n == 1:
+                dec = self.decompress(enc["strings"], enc["shape"])
+                xs = [dec]
+            else:
+                per = B // n
+                jobs = [([g[i * per:(i + 1) * per]
+                          for g in enc["strings"]], enc["shape"])
+                        for i in range(n)]
+                xs = self.decompress_many(jobs, interleave=n)
+            x_hat = xs[0]["x_hat"] if n == 1 else jnp.concatenate(
+                [d["x_hat"] for d in xs], axis=0)
+            results.append({"strings": enc["strings"],
+                            "shape": enc["shape"], "x_hat": x_hat})
+        t.join()
+        if err:
+            raise err[0]
+        return results
 
     def decompress_many(self, jobs: Sequence, interleave: int = 2
                         ) -> List[dict]:
