@@ -30,7 +30,10 @@ def synthetic_kodak(n: int, h: int = 512, w: int = 768,
     # low-pass mix to avoid blocking artifacts dominating
     img = 0.7 * img + 0.3 * rng.uniform(0, 1, (n, 1, 1, 3))
     img += rng.normal(0, 0.01, img.shape)
-    return np.clip(img, 0, 1).astype(np.float32)
+    # uint8, as real Kodak PNGs are: the codec's uint8 ingress uploads
+    # 1 byte/px and normalizes on device (tools/bench_link.py measured
+    # the tunnel at ~80 MB/s h2d, so f32 upload alone was 465 ms/batch-8)
+    return (np.clip(img, 0, 1) * 255).round().astype(np.uint8)
 
 
 def main():

@@ -277,17 +277,38 @@ class DCAE(nn.Module):
             y_hat_slices.append(y_hat_slice)
 
         y_symbols = jnp.stack(sym_list)
-        # narrow copies for the (bandwidth-limited) host fetch: int8 when
-        # every symbol fits (the common case for trained models), int16
-        # fallback, int32 only for pathological inputs
-        return {
+        y_indexes = jnp.stack(idx_list)
+        # narrow copies for the (bandwidth-limited) host fetch: int4-packed
+        # when every symbol fits [-8,7] (the common case for trained
+        # models), then int8/int16/int32 tiers. The tunnel link moves
+        # ~20-80 MB/s (tools/bench_link.py), so the 7.9 MB/batch-8
+        # symbol+index payload is a first-order encode cost; packing takes
+        # it to 4.9 MB.
+        out = {
             "y_symbols": y_symbols,
             "y_symbols16": y_symbols.astype(jnp.int16),
             "y_symbols8": y_symbols.astype(jnp.int8),
             "y_overflow": jnp.any(jnp.abs(y_symbols) > 32767),
             "y_overflow8": jnp.any(jnp.abs(y_symbols) > 127),
-            "y_indexes": jnp.stack(idx_list),
+            "y_indexes": y_indexes,
         }
+        sd = y_symbols.shape[-1]
+        if sd % 2 == 0:
+            # two's-complement low nibbles, two symbols per byte
+            nib = (y_symbols & 0xF).astype(jnp.uint8)
+            out["y_packed4"] = nib[..., 0::2] | (nib[..., 1::2] << 4)
+            out["y_overflow4"] = jnp.any((y_symbols < -8) | (y_symbols > 7))
+        if sd % 4 == 0:
+            # indexes are always < 64 scale rows: 4 per 3 bytes, lossless
+            g = y_indexes.astype(jnp.uint32).reshape(
+                *y_indexes.shape[:-1], sd // 4, 4)
+            w = (g[..., 0] | (g[..., 1] << 6) | (g[..., 2] << 12)
+                 | (g[..., 3] << 18))
+            out["y_indexes_p6"] = jnp.stack(
+                [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF],
+                axis=-1).astype(jnp.uint8).reshape(
+                    *y_indexes.shape[:-1], sd // 4 * 3)
+        return out
 
     @staticmethod
     def narrow_z(z_symbols: jax.Array) -> dict:

@@ -132,6 +132,102 @@ class TestRealCodec:
         assert enc_single["strings"][0][0] == enc["strings"][0][0]
         assert enc_single["strings"][1][0] == enc["strings"][1][0]
 
+    def test_pack_unpack_inverses(self):
+        """Host unpackers invert the device-side int4/6-bit packs
+        (dcae.encode_rest) bit-exactly."""
+        from dcae_tpu.models.codec import _unpack_idx6, _unpack_sym4
+        rng = np.random.default_rng(1)
+        sym = rng.integers(-8, 8, (5, 2, 3, 4, 8)).astype(np.int32)
+        nib = (sym & 0xF).astype(np.uint8)
+        packed = nib[..., 0::2] | (nib[..., 1::2] << 4)
+        assert (_unpack_sym4(packed).astype(np.int32) == sym).all()
+        idx = rng.integers(0, 64, (5, 2, 3, 4, 8)).astype(np.uint8)
+        g = idx.astype(np.uint32).reshape(*idx.shape[:-1], -1, 4)
+        w = (g[..., 0] | (g[..., 1] << 6) | (g[..., 2] << 12)
+             | (g[..., 3] << 18))
+        p6 = np.stack([w & 255, (w >> 8) & 255, (w >> 16) & 255],
+                      axis=-1).astype(np.uint8).reshape(*idx.shape[:-1], -1)
+        assert (_unpack_idx6(p6, 8) == idx).all()
+
+    @staticmethod
+    def _handoff_dict(y_sym, y_idx, z_sym):
+        """Build the encode_rest/narrow_z hand-off leaves from int32
+        symbol tensors (numpy mirror of the device-side emission)."""
+        sd = y_sym.shape[-1]
+        nib = (y_sym & 0xF).astype(np.uint8)
+        g = y_idx.astype(np.uint32).reshape(*y_idx.shape[:-1], sd // 4, 4)
+        w = (g[..., 0] | (g[..., 1] << 6) | (g[..., 2] << 12)
+             | (g[..., 3] << 18))
+        return {
+            "y_symbols": y_sym,
+            "y_symbols16": y_sym.astype(np.int16),
+            "y_symbols8": y_sym.astype(np.int8),
+            "y_overflow": np.any(np.abs(y_sym) > 32767),
+            "y_overflow8": np.any(np.abs(y_sym) > 127),
+            "y_overflow4": np.any((y_sym < -8) | (y_sym > 7)),
+            "y_packed4": nib[..., 0::2] | (nib[..., 1::2] << 4),
+            "y_indexes": y_idx,
+            "y_indexes_p6": np.stack(
+                [w & 255, (w >> 8) & 255, (w >> 16) & 255],
+                axis=-1).astype(np.uint8).reshape(
+                    *y_idx.shape[:-1], sd // 4 * 3),
+            "z_symbols": z_sym,
+            "z_symbols8": z_sym.astype(np.int8),
+            "z_overflow8": np.any(np.abs(z_sym) > 127),
+        }
+
+    def test_overflow_tier_fallback_and_recovery(self, tiny_codec):
+        """A symbol outside [-8,7] must route _finish_fused to a wider
+        fetch tier with an identical stream, downgrade the sticky tier,
+        and recover on the next in-range batch."""
+        from dcae_tpu.entropy import rans
+        cfg = tiny_codec.cfg
+        t = tiny_codec.tables
+        rng = np.random.default_rng(0)
+        S, B, h, w, sd = cfg.num_slices, 1, 2, 2, cfg.slice_dim
+        y_idx = rng.integers(
+            0, t.gaussian.quantized_cdf.shape[0],
+            (S, B, h, w, sd)).astype(np.uint8)
+        z_sym = rng.integers(-3, 4, (B, 2, 2, cfg.eb_channels)).astype(
+            np.int32)
+
+        def roundtrip(y_sym):
+            enc = tiny_codec._finish_fused(
+                self._handoff_dict(y_sym, y_idx, z_sym))
+            flat_idx = np.concatenate(
+                [y_idx[s, 0].transpose(2, 0, 1).reshape(-1)
+                 for s in range(S)])
+            dec = rans.decode_with_indexes(
+                enc["strings"][0][0], flat_idx.astype(np.int32),
+                t.gaussian.quantized_cdf, t.gaussian.cdf_length,
+                t.gaussian.offset)
+            want = np.concatenate(
+                [y_sym[s, 0].transpose(2, 0, 1).reshape(-1)
+                 for s in range(S)])
+            assert (np.asarray(dec, np.int32) == want).all()
+
+        in_range = rng.integers(-5, 6, (S, B, h, w, sd)).astype(np.int32)
+        overflow = in_range.copy()
+        overflow[0, 0, 0, 0, 0] = 20  # breaks int4, fits int8
+
+        assert tiny_codec._sym_tier4 is True
+        roundtrip(overflow)
+        assert tiny_codec._sym_tier4 is False  # downgraded
+        roundtrip(in_range)
+        assert tiny_codec._sym_tier4 is True  # recovered
+
+    def test_uint8_ingress_matches_f32(self, tiny_codec, image):
+        """compress() accepts uint8 images (normalized on device; 4x less
+        h2d). Streams must bit-match the f32 ingress of the same
+        quantized pixels — the division is IEEE f32 either way."""
+        u8 = (image * 255).round().astype(np.uint8)
+        f32 = u8.astype(np.float32) / np.float32(255.0)
+        enc8 = tiny_codec.compress(u8)
+        enc32 = tiny_codec.compress(f32)
+        assert enc8["strings"] == enc32["strings"]
+        dec = tiny_codec.decompress(enc8["strings"], enc8["shape"])
+        assert np.isfinite(np.asarray(dec["x_hat"])).all()
+
     def test_encdec_pipeline_matches_sequential(self, tiny_codec, image):
         """The overlapped serving loop must produce exactly the streams and
         reconstructions the sequential compress->decompress path does."""
