@@ -173,15 +173,35 @@ class DCAECodec:
             lambda p, y, z_hat, st: model.apply(
                 {"params": p}, y, z_hat, st, method=DCAE.encode_rest))
 
-        self._start = jax.jit(
-            lambda p, z_hat, st: model.apply(
-                {"params": p}, z_hat, st, method=DCAE.decode_start))
+        def _pack6(idx):
+            # decode-side twin of encode_rest's 6-bit index pack: the
+            # per-slice index fetch is the decode loop's only bulk d2h
+            # (6 x 786 KB per batch-8 through a 16-36 MB/s link), so it
+            # ships at 0.75 B/idx; the host unpacks (_unpack_idx6)
+            c = idx.shape[-1]
+            if c % 4:
+                return idx
+            g = idx.astype(jnp.uint32).reshape(*idx.shape[:-1], c // 4, 4)
+            w = (g[..., 0] | (g[..., 1] << 6) | (g[..., 2] << 12)
+                 | (g[..., 3] << 18))
+            return jnp.stack(
+                [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF],
+                axis=-1).astype(jnp.uint8).reshape(
+                    *idx.shape[:-1], c // 4 * 3)
+
+        def _start_fn(p, z_hat, st):
+            ls, lm, support, mu, indexes = model.apply(
+                {"params": p}, z_hat, st, method=DCAE.decode_start)
+            return ls, lm, support, mu, _pack6(indexes)
+
+        self._start = jax.jit(_start_fn)
 
         @functools.partial(jax.jit, static_argnums=(0,))
         def _step(i, p, ls, lm, y_hat_prev, support, mu, symbols, st):
-            return model.apply({"params": p}, i, ls, lm, y_hat_prev,
-                               support, mu, symbols, st,
-                               method=DCAE.decode_step)
+            y_hat, support, mu, indexes = model.apply(
+                {"params": p}, i, ls, lm, y_hat_prev,
+                support, mu, symbols, st, method=DCAE.decode_step)
+            return y_hat, support, mu, _pack6(indexes)
 
         @functools.partial(jax.jit, donate_argnums=())
         def _end(p, y_hat_prev, support, mu, symbols):
@@ -401,7 +421,10 @@ class DCAECodec:
                     jnp.asarray(symbols, jnp.float32), st)
             mu_np, idx_np = jax.device_get((mu, indexes))  # one round trip
             mu_np = np.asarray(mu_np)
-            idx_np = np.asarray(idx_np).astype(np.int32)
+            idx_np = np.asarray(idx_np)
+            if idx_np.shape[-1] != sd:  # 6-bit packed (see _pack6)
+                idx_np = _unpack_idx6(idx_np, sd)
+            idx_np = idx_np.astype(np.int32)
             y_slice = y_np[..., i * sd: (i + 1) * sd]
             symbols = np.round(y_slice - mu_np).astype(np.int32)
             for b in range(B):
@@ -552,8 +575,10 @@ class DCAECodec:
                 idx_np = np.asarray(
                     self.indexes[self.slice_index]).astype(np.int32)
             else:
-                idx_np = np.asarray(
-                    jax.device_get(self.local_idx)).astype(np.int32)
+                idx_np = np.asarray(jax.device_get(self.local_idx))
+                if idx_np.shape[-1] != self.sd:  # 6-bit packed (_pack6)
+                    idx_np = _unpack_idx6(idx_np, self.sd)
+                idx_np = idx_np.astype(np.int32)
             lut = self.t.gaussian.lut  # build once, outside the pool
 
             def decode_one(b: int) -> np.ndarray:
