@@ -109,25 +109,24 @@ def main():
     # decode of batch i (codec.encdec_pipeline) — the headline metric.
     # Each pass streams PIPE_BATCHES batches through the pipeline; images
     # per second counts every image fully encoded AND decoded. Decode
-    # interleave: the same-window sweep (docs/PERF.md) showed 1 job best-
-    # case / 2 jobs best-median, so auto alternates and best-of keeps the
-    # winner.
+    # interleave groups CONSECUTIVE batches (full-size device programs,
+    # overlapped dispatch round trips); auto alternates 1 and 2 across
+    # rounds and best-of keeps the winner.
     PIPE_BATCHES = int(os.environ.get("DCAE_BENCH_PIPE_BATCHES", "6"))
-    env_jobs = os.environ.get("DCAE_BENCH_DECODE_JOBS", "auto")
+    env_il = os.environ.get("DCAE_BENCH_DECODE_INTERLEAVE", "auto")
     stream = [images] * PIPE_BATCHES
-    best_pipe = None
+    pipe_times = []
     t_bench0 = time.perf_counter()
     r = 0
     while r < n_rounds or time.perf_counter() - t_bench0 < BUDGET_S:
         r += 1
-        n_jobs = (2 if r % 2 else 1) if env_jobs == "auto" \
-            else max(1, min(int(env_jobs), batch))
+        il = (2 if r % 2 else 1) if env_il == "auto" else max(1, int(env_il))
         t0 = time.perf_counter()
-        outs = codec.encdec_pipeline(stream, decode_jobs=n_jobs)
+        outs = codec.encdec_pipeline(stream, decode_interleave=il)
         jax.block_until_ready([o["x_hat"] for o in outs])
-        pipe_s = time.perf_counter() - t0
-        if best_pipe is None or pipe_s < best_pipe:
-            best_pipe = pipe_s
+        pipe_times.append(time.perf_counter() - t0)
+    best_pipe = min(pipe_times)
+    median_pipe = float(np.median(pipe_times))
 
     n_images = batch * PIPE_BATCHES
     ips = n_images / best_pipe
@@ -140,6 +139,7 @@ def main():
             "batch": batch,
             "pipeline_batches": PIPE_BATCHES,
             "pipeline_ms_per_img": round(1000 * best_pipe / n_images, 1),
+            "median_img_per_sec": round(n_images / median_pipe, 4),
             "encode_ms_per_img": round(1000 * enc_s / batch, 1),
             "decode_ms_per_img": round(1000 * dec_s / batch, 1),
             "sequential_img_per_sec": round(batch / (enc_s + dec_s), 4),

@@ -624,8 +624,8 @@ class DCAECodec:
             pass
         return {"x_hat": job.x_hat}
 
-    def encdec_pipeline(self, batches: Sequence, decode_jobs: int = 1,
-                        queue_depth: int = 2) -> List[dict]:
+    def encdec_pipeline(self, batches: Sequence, decode_interleave: int = 2,
+                        queue_depth: int = 3) -> List[dict]:
         """Steady-state serving loop: encode of batch i+1 overlaps decode of
         batch i, so throughput is set by max(encode, decode) per batch
         instead of their sum (the reference serves encode and decode from
@@ -639,12 +639,19 @@ class DCAECodec:
         because both stages are dispatch/host-bound on a tunneled link.
         queue_depth bounds in-flight encodes (device memory backpressure).
 
+        decode_interleave consecutive encoded batches decode as one
+        decompress_many group: each batch keeps its full-size device
+        programs (splitting WITHIN a batch measured slower — smaller
+        device batches), while the ~28 ms dispatch round trips of the
+        grouped jobs overlap each other.
+
         Returns per-batch dicts {"strings", "shape", "x_hat"} in order."""
         import queue as _queue
         import threading
 
         batches = list(batches)
-        q: "_queue.Queue" = _queue.Queue(maxsize=max(1, queue_depth))
+        k = max(1, int(decode_interleave))
+        q: "_queue.Queue" = _queue.Queue(maxsize=max(k, queue_depth))
         err: List[BaseException] = []
 
         def producer():
@@ -658,27 +665,32 @@ class DCAECodec:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         results: List[dict] = []
+
+        def flush(group: List[dict]):
+            if len(group) == 1:
+                decs = [self.decompress(group[0]["strings"],
+                                        group[0]["shape"])]
+            else:
+                decs = self.decompress_many(
+                    [(e["strings"], e["shape"]) for e in group],
+                    interleave=len(group))
+            for e, d in zip(group, decs):
+                results.append({"strings": e["strings"],
+                                "shape": e["shape"], "x_hat": d["x_hat"]})
+
+        group: List[dict] = []
+        stop = False
         for _ in batches:
             enc = q.get()
             if enc is None:
+                stop = True
                 break
-            B = len(enc["strings"][1])
-            n = max(1, min(decode_jobs, B))
-            while B % n:
-                n -= 1
-            if n == 1:
-                dec = self.decompress(enc["strings"], enc["shape"])
-                xs = [dec]
-            else:
-                per = B // n
-                jobs = [([g[i * per:(i + 1) * per]
-                          for g in enc["strings"]], enc["shape"])
-                        for i in range(n)]
-                xs = self.decompress_many(jobs, interleave=n)
-            x_hat = xs[0]["x_hat"] if n == 1 else jnp.concatenate(
-                [d["x_hat"] for d in xs], axis=0)
-            results.append({"strings": enc["strings"],
-                            "shape": enc["shape"], "x_hat": x_hat})
+            group.append(enc)
+            if len(group) >= k:
+                flush(group)
+                group = []
+        if group and not stop:
+            flush(group)
         t.join()
         if err:
             raise err[0]
