@@ -656,8 +656,16 @@ class DCAECodec:
 
         def producer():
             try:
-                for x in batches:
-                    q.put(self.compress(x))
+                nxt = None
+                for i, x in enumerate(batches):
+                    cur = nxt if nxt is not None else self._as_input(x)
+                    # prefetch the NEXT batch's image upload: device_put
+                    # is async, so the h2d transfer (9.4 MB uint8 per
+                    # batch-8) rides the link while compress() blocks on
+                    # this batch's symbol fetch
+                    nxt = (self._as_input(batches[i + 1])
+                           if i + 1 < len(batches) else None)
+                    q.put(self.compress(cur))
             except BaseException as e:  # surface in the consumer
                 err.append(e)
                 q.put(None)
