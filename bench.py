@@ -120,7 +120,10 @@ def main():
     r = 0
     while r < n_rounds or time.perf_counter() - t_bench0 < BUDGET_S:
         r += 1
-        il = (2 if r % 2 else 1) if env_il == "auto" else max(1, int(env_il))
+        # same-window sweep: interleave 2 and 3 both beat 1 (docs/PERF.md
+        # round-3 breakdown — trip latency hides between grouped jobs);
+        # 3 has the best best-case, 2 the best median, so auto alternates
+        il = (3 if r % 2 else 2) if env_il == "auto" else max(1, int(env_il))
         t0 = time.perf_counter()
         outs = codec.encdec_pipeline(stream, decode_interleave=il)
         jax.block_until_ready([o["x_hat"] for o in outs])
