@@ -90,16 +90,16 @@ def _load() -> ctypes.CDLL:
         lib.dcae_pmf_to_quantized_cdf.argtypes = [
             f32p, ctypes.c_int64, ctypes.c_int32, u32p,
         ]
-        u16p = ctypes.POINTER(ctypes.c_uint16)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
         lib.dcae_rans_build_lut.restype = ctypes.c_int32
         lib.dcae_rans_build_lut.argtypes = [
-            i32p, ctypes.c_int64, ctypes.c_int64, i32p, u16p,
+            i32p, ctypes.c_int64, ctypes.c_int64, i32p, u64p,
         ]
         lib.dcae_rans_dec_decode_lut.restype = ctypes.c_int32
         lib.dcae_rans_dec_decode_lut.argtypes = [
             ctypes.c_void_p, i32p, ctypes.c_int64,
             i32p, ctypes.c_int64, ctypes.c_int64,
-            i32p, i32p, u16p, i32p,
+            i32p, i32p, u64p, i32p,
         ]
         _lib = lib
         return _lib
@@ -184,16 +184,17 @@ PRECISION_SLOTS = 1 << 16
 
 
 def build_decode_lut(cdfs, cdf_lengths) -> np.ndarray:
-    """Tabulate find_symbol: (rows, 2^16) uint16 slot->symbol table.
-    A pure function of the quantized CDFs — build once per table bake
-    (the 64-row Gaussian bank costs 8 MB)."""
+    """Tabulate find_symbol: (rows, 2^16) uint64 table whose entries fuse
+    (symbol | start << 16 | freq << 32), so decode is ONE dependent load
+    per symbol. A pure function of the quantized CDFs — build once per
+    table bake (the 64-row Gaussian bank costs 32 MB)."""
     lib = _load()
     cdfs = np.ascontiguousarray(np.asarray(cdfs), dtype=np.int32)
     cdf_lengths = _as_i32(cdf_lengths)
-    lut = np.empty((cdfs.shape[0], PRECISION_SLOTS), dtype=np.uint16)
+    lut = np.empty((cdfs.shape[0], PRECISION_SLOTS), dtype=np.uint64)
     rc = lib.dcae_rans_build_lut(
         _i32p(cdfs), cdfs.shape[0], cdfs.shape[1], _i32p(cdf_lengths),
-        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     if rc != 0:
         raise ValueError(f"rANS LUT build failed (rc={rc})")
     return lut
@@ -257,14 +258,14 @@ class RansDecoder:
         cdfs, cdf_lengths, offsets = _check_tables(cdfs, cdf_lengths, offsets)
         out = np.empty(indexes.size, dtype=np.int32)
         if lut is not None:
-            if lut.dtype != np.uint16 or lut.shape != (cdfs.shape[0],
+            if lut.dtype != np.uint64 or lut.shape != (cdfs.shape[0],
                                                        PRECISION_SLOTS):
                 raise ValueError("bad LUT shape/dtype")
             rc = self._lib.dcae_rans_dec_decode_lut(
                 self._handle, _i32p(indexes), indexes.size,
                 _i32p(cdfs), cdfs.shape[0], cdfs.shape[1],
                 _i32p(cdf_lengths), _i32p(offsets),
-                lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
                 _i32p(out),
             )
         else:

@@ -33,7 +33,8 @@ class CdfTable:
 
     @property
     def lut(self) -> np.ndarray:
-        """Slot->symbol decode LUT (uint16 [rows, 2^16]), built lazily once
+        """Fused (symbol|start|freq) decode LUT (uint64 [rows, 2^16]),
+        one load per decoded symbol, built lazily once
         per bake — replaces the decoder's binary search (rans.build_decode_lut)."""
         if self._lut is None:
             self._lut = rans.build_decode_lut(self.quantized_cdf,

@@ -265,17 +265,19 @@ int32_t dcae_rans_dec_decode(void *handle, const int32_t *indexes, int64_t n,
 }
 
 // ---- LUT decode: replace the per-symbol binary search with a direct
-// ---- 2^precision-entry slot->symbol table per CDF row. The tables are a
-// ---- pure function of the quantized CDFs (built once per update()); at
-// ---- 64 Gaussian rows they cost 8 MB and turn the decoder's inner loop
-// ---- into two dependent loads (LUT, then the cdf row for start/freq,
-// ---- which stays cache-hot).
+// ---- 2^precision-entry table per CDF row. The tables are a pure
+// ---- function of the quantized CDFs (built once per update()). Each
+// ---- entry fuses (symbol | start<<16 | freq<<32) into one uint64, so
+// ---- the decoder's inner loop is a SINGLE dependent load — no second
+// ---- fetch into the cdf row for start/freq. freq <= 2^16 - 1 always:
+// ---- pmf_to_quantized_cdf keeps every bucket >= 1 and rows have >= 2
+// ---- buckets, so no field overflows.
 
-// Fill lut_out[row * 2^kPrecision + cum] = symbol for every row.
-// lut_out must hold cdf_rows << kPrecision uint16 entries.
+// Fill lut_out[row * 2^kPrecision + cum] = sym|start<<16|freq<<32.
+// lut_out must hold cdf_rows << kPrecision uint64 entries.
 int32_t dcae_rans_build_lut(const int32_t *cdfs, int64_t cdf_rows,
                             int64_t cdf_stride, const int32_t *cdf_lengths,
-                            uint16_t *lut_out) {
+                            uint64_t *lut_out) {
   const int64_t slots = 1ll << kPrecision;
   for (int64_t r = 0; r < cdf_rows; ++r) {
     const int32_t *cdf = cdfs + r * cdf_stride;
@@ -284,11 +286,14 @@ int32_t dcae_rans_build_lut(const int32_t *cdfs, int64_t cdf_rows,
         cdf[length - 1] != static_cast<int32_t>(slots)) {
       return -2;
     }
-    uint16_t *lut = lut_out + r * slots;
+    uint64_t *lut = lut_out + r * slots;
     for (int32_t s = 0; s + 1 < length; ++s) {
       const int32_t lo = cdf[s], hi = cdf[s + 1];
       if (lo < 0 || hi > slots || hi < lo) return -3;
-      for (int32_t c = lo; c < hi; ++c) lut[c] = static_cast<uint16_t>(s);
+      const uint64_t entry = static_cast<uint64_t>(s) |
+                             (static_cast<uint64_t>(lo) << 16) |
+                             (static_cast<uint64_t>(hi - lo) << 32);
+      for (int32_t c = lo; c < hi; ++c) lut[c] = entry;
     }
   }
   return 0;
@@ -300,23 +305,24 @@ int32_t dcae_rans_dec_decode_lut(void *handle, const int32_t *indexes,
                                  int64_t n, const int32_t *cdfs,
                                  int64_t cdf_rows, int64_t cdf_stride,
                                  const int32_t *cdf_lengths,
-                                 const int32_t *offsets, const uint16_t *lut,
+                                 const int32_t *offsets, const uint64_t *lut,
                                  int32_t *out_symbols) {
   auto *dec = static_cast<RansDecState *>(handle);
   if (dec == nullptr) return -1;
   const int64_t slots = 1ll << kPrecision;
+  (void)cdfs;
 
   for (int64_t i = 0; i < n; ++i) {
     const int32_t idx = indexes[i];
     if (idx < 0 || idx >= cdf_rows) return -2;
-    const int32_t *cdf = cdfs + idx * cdf_stride;
     const int32_t max_value = cdf_lengths[idx] - 2;
     if (max_value < 0 || cdf_lengths[idx] > cdf_stride) return -2;
 
     const uint32_t cum = dec->get();
-    const int32_t s = lut[idx * slots + cum];
-    dec->advance(static_cast<uint32_t>(cdf[s]),
-                 static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+    const uint64_t e = lut[idx * slots + cum];
+    const int32_t s = static_cast<int32_t>(e & 0xFFFF);
+    dec->advance(static_cast<uint32_t>((e >> 16) & 0xFFFF),
+                 static_cast<uint32_t>((e >> 32) & 0xFFFF));
 
     int32_t value = s;
     if (value == max_value) {

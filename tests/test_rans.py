@@ -168,7 +168,7 @@ class TestLutDecode:
         same streams (incl. escape symbols)."""
         cdfs, lengths, offsets = make_gaussian_cdfs(n_rows=12)
         lut = rans.build_decode_lut(cdfs, lengths)
-        assert lut.shape == (12, 1 << 16) and lut.dtype == np.uint16
+        assert lut.shape == (12, 1 << 16) and lut.dtype == np.uint64
         rng = np.random.default_rng(21)
         n = 4096
         indexes = rng.integers(0, 12, size=n).astype(np.int32)
@@ -183,13 +183,17 @@ class TestLutDecode:
         np.testing.assert_array_equal(fast, symbols)
 
     def test_lut_covers_every_slot(self):
-        """Every 16-bit slot maps to the symbol the search would find."""
+        """Every 16-bit slot's fused entry carries the (symbol, start,
+        freq) the binary search would find."""
         cdfs, lengths, offsets = make_gaussian_cdfs(n_rows=3, seed=4)
         lut = rans.build_decode_lut(cdfs, lengths)
         for r in range(3):
             row = cdfs[r, : lengths[r]]
             want = np.searchsorted(row, np.arange(1 << 16), side="right") - 1
-            np.testing.assert_array_equal(lut[r], want)
+            np.testing.assert_array_equal(lut[r] & 0xFFFF, want)
+            np.testing.assert_array_equal((lut[r] >> 16) & 0xFFFF, row[want])
+            np.testing.assert_array_equal((lut[r] >> 32) & 0xFFFF,
+                                          row[want + 1] - row[want])
 
     def test_codec_tables_lazy_lut(self):
         from dcae_tpu.entropy.tables import build_gaussian_table
