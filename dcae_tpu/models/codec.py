@@ -165,29 +165,29 @@ class DCAECodec:
 
         self._encode = jax.jit(_enc_full)
 
-        self._analyze = jax.jit(
-            lambda p, x: model.apply(
-                {"params": p}, _norm(x), method=DCAE.encode_analysis))
+        def _analyze_fn(p, x):
+            y, z_symbols, z_hat = model.apply(
+                {"params": p}, _norm(x), method=DCAE.encode_analysis)
+            # narrow z leaves in the SAME program so the split encoder's
+            # hand-off ships int8 z (the fused path gets this via
+            # narrow_z already; without it split fetched int32 z — 4x
+            # the bytes on a ~25 MB/s link)
+            return y, DCAE.narrow_z(z_symbols), z_hat
+
+        self._analyze = jax.jit(_analyze_fn)
 
         self._encode_rest = jax.jit(
             lambda p, y, z_hat, st: model.apply(
                 {"params": p}, y, z_hat, st, method=DCAE.encode_rest))
 
         def _pack6(idx):
-            # decode-side twin of encode_rest's 6-bit index pack: the
+            # decode-side use of the shared 6-bit index pack: the
             # per-slice index fetch is the decode loop's only bulk d2h
             # (6 x 786 KB per batch-8 through a 16-36 MB/s link), so it
             # ships at 0.75 B/idx; the host unpacks (_unpack_idx6)
-            c = idx.shape[-1]
-            if c % 4:
+            if idx.shape[-1] % 4:
                 return idx
-            g = idx.astype(jnp.uint32).reshape(*idx.shape[:-1], c // 4, 4)
-            w = (g[..., 0] | (g[..., 1] << 6) | (g[..., 2] << 12)
-                 | (g[..., 3] << 18))
-            return jnp.stack(
-                [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF],
-                axis=-1).astype(jnp.uint8).reshape(
-                    *idx.shape[:-1], c // 4 * 3)
+            return DCAE.pack_idx6(idx)
 
         def _start_fn(p, z_hat, st):
             ls, lm, support, mu, indexes = model.apply(
@@ -310,10 +310,10 @@ class DCAECodec:
     def _compress_split(self, x) -> dict:
         """2-call encode: analysis program, then one fused slice-context
         program (bit-safe with reduced-precision analysis transforms)."""
-        y, z_symbols, z_hat = self._analyze(self.params, self._as_input(x))
+        y, z_narrow, z_hat = self._analyze(self.params, self._as_input(x))
         out = dict(self._encode_rest(self.params, y, z_hat,
                                      jnp.asarray(self._scale_table)))
-        out["z_symbols"] = z_symbols
+        out.update(z_narrow)
         return self._finish_fused(out)
 
     def compress_many(self, batches: Sequence, fused: Optional[bool] = None,
@@ -332,7 +332,7 @@ class DCAECodec:
         for x in list(batches) + [None]:
             out = None
             if x is not None:
-                out = self._encode(self.params, jnp.asarray(x, jnp.float32),
+                out = self._encode(self.params, self._as_input(x),
                                    st)  # async dispatch
             if pending is not None:
                 results.append(self._finish_fused(pending))
@@ -399,8 +399,11 @@ class DCAECodec:
         """Encode by replaying the decoder's exact compiled programs
         (decode_start/step), computing symbols by host rounding."""
         t = self._require_tables()
-        y, z_symbols, z_hat = self._analyze(self.params, self._as_input(x))
-        z_sym = np.asarray(jax.device_get(z_symbols))
+        y, z_narrow, z_hat = self._analyze(self.params, self._as_input(x))
+        z8, zover = jax.device_get((z_narrow["z_symbols8"],
+                                    z_narrow["z_overflow8"]))
+        z_sym = np.asarray(jax.device_get(z_narrow["z_symbols"])) \
+            if bool(zover) else np.asarray(z8).astype(np.int32)
         B, zh, zw, _ = z_sym.shape
         z_strings = self._encode_z(z_sym)
 
@@ -505,7 +508,7 @@ class DCAECodec:
         indexes (ref DCAE_6, models/dcae_6.py:760-778): ship them with the
         stream so the decoder can skip/validate its own sigma->index
         recomputation when hunting cross-device drift."""
-        out = self._encode(self.params, jnp.asarray(x, jnp.float32),
+        out = self._encode(self.params, self._as_input(x),
                            jnp.asarray(self._scale_table))
         result = self._finish_fused(out)
         result["indexes"] = np.asarray(jax.device_get(out["y_indexes"]))
@@ -533,10 +536,12 @@ class DCAECodec:
             z_index_flat = np.repeat(np.arange(C, dtype=np.int32), zh * zw)
             z_hat = np.empty((self.B, zh, zw, C), np.float32)
             for b in range(self.B):
+                # no LUT here: z is ~1% of the symbol volume and the
+                # factorized bank has eb_channels rows — a 2^16-slot fused
+                # LUT would cost ~96 MB host RAM for an unmeasurable win
                 sym = rans.decode_with_indexes(
                     z_strings[b], z_index_flat, t.factorized.quantized_cdf,
-                    t.factorized.cdf_length, t.factorized.offset,
-                    lut=t.factorized.lut)
+                    t.factorized.cdf_length, t.factorized.offset)
                 z_hat[b] = _unflatten_chw(sym.astype(np.float32), zh, zw, C)
             # dequantize around the LIVE medians — exactly what the encoder's
             # device graph used (baked copy may lag a training step)
@@ -653,6 +658,16 @@ class DCAECodec:
         k = max(1, int(decode_interleave))
         q: "_queue.Queue" = _queue.Queue(maxsize=max(k, queue_depth))
         err: List[BaseException] = []
+        dead = threading.Event()  # consumer died: stop producing
+
+        def _put(item) -> bool:
+            while not dead.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -665,10 +680,11 @@ class DCAECodec:
                     # this batch's symbol fetch
                     nxt = (self._as_input(batches[i + 1])
                            if i + 1 < len(batches) else None)
-                    q.put(self.compress(cur))
+                    if not _put(self.compress(cur)):
+                        return
             except BaseException as e:  # surface in the consumer
                 err.append(e)
-                q.put(None)
+                _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -688,18 +704,23 @@ class DCAECodec:
 
         group: List[dict] = []
         stop = False
-        for _ in batches:
-            enc = q.get()
-            if enc is None:
-                stop = True
-                break
-            group.append(enc)
-            if len(group) >= k:
+        try:
+            for _ in batches:
+                enc = q.get()
+                if enc is None:
+                    stop = True
+                    break
+                group.append(enc)
+                if len(group) >= k:
+                    flush(group)
+                    group = []
+            if group and not stop:
                 flush(group)
-                group = []
-        if group and not stop:
-            flush(group)
-        t.join()
+        finally:
+            # a consumer failure must not leave the producer blocked on
+            # the bounded queue forever (thread + device-buffer leak)
+            dead.set()
+            t.join()
         if err:
             raise err[0]
         return results

@@ -299,16 +299,26 @@ class DCAE(nn.Module):
             out["y_packed4"] = nib[..., 0::2] | (nib[..., 1::2] << 4)
             out["y_overflow4"] = jnp.any((y_symbols < -8) | (y_symbols > 7))
         if sd % 4 == 0:
-            # indexes are always < 64 scale rows: 4 per 3 bytes, lossless
-            g = y_indexes.astype(jnp.uint32).reshape(
-                *y_indexes.shape[:-1], sd // 4, 4)
-            w = (g[..., 0] | (g[..., 1] << 6) | (g[..., 2] << 12)
-                 | (g[..., 3] << 18))
-            out["y_indexes_p6"] = jnp.stack(
-                [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF],
-                axis=-1).astype(jnp.uint8).reshape(
-                    *y_indexes.shape[:-1], sd // 4 * 3)
+            out["y_indexes_p6"] = self.pack_idx6(y_indexes)
         return out
+
+    @staticmethod
+    def pack_idx6(indexes: jax.Array) -> jax.Array:
+        """6-bit pack of coding indexes (always < 64 scale rows): 4 per
+        3 bytes along the last axis, lossless. Shared by the encode
+        hand-off and the decode-side per-slice fetch; the single host
+        inverse is codec._unpack_idx6 — keep all three bit-compatible.
+        Last axis must be divisible by 4 (callers fall back to raw
+        uint8 otherwise)."""
+        c = indexes.shape[-1]
+        g = indexes.astype(jnp.uint32).reshape(
+            *indexes.shape[:-1], c // 4, 4)
+        w = (g[..., 0] | (g[..., 1] << 6) | (g[..., 2] << 12)
+             | (g[..., 3] << 18))
+        return jnp.stack(
+            [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF],
+            axis=-1).astype(jnp.uint8).reshape(
+                *indexes.shape[:-1], c // 4 * 3)
 
     @staticmethod
     def narrow_z(z_symbols: jax.Array) -> dict:

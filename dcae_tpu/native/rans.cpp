@@ -290,6 +290,11 @@ int32_t dcae_rans_build_lut(const int32_t *cdfs, int64_t cdf_rows,
     for (int32_t s = 0; s + 1 < length; ++s) {
       const int32_t lo = cdf[s], hi = cdf[s + 1];
       if (lo < 0 || hi > slots || hi < lo) return -3;
+      // freq must fit the 16-bit field: a single-bucket row (freq ==
+      // 2^16) would silently truncate to 0 and corrupt the decoder
+      // state; pmf_to_quantized_cdf never emits one, but this is a
+      // public entry point
+      if (hi - lo >= static_cast<int32_t>(slots)) return -4;
       const uint64_t entry = static_cast<uint64_t>(s) |
                              (static_cast<uint64_t>(lo) << 16) |
                              (static_cast<uint64_t>(hi - lo) << 32);

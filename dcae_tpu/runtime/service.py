@@ -19,7 +19,9 @@ def send_bytes(name: str, data: bytes, host: str, port: int,
     """Send one named payload using the name|size + ACK protocol."""
     sock = socket.create_connection((host, port), timeout=timeout)
     try:
-        header = f"{name}|{len(data)}".encode()
+        # newline terminator lets the server parse the header without a
+        # drain window; the server still accepts terminator-less peers
+        header = f"{name}|{len(data)}\n".encode()
         sock.sendall(header)
         ack = sock.recv(1024)
         if ack != b"ACK":
@@ -81,18 +83,18 @@ class BitstreamServer:
 
     @staticmethod
     def _read_header(conn: socket.socket) -> str:
-        """Read the 'name|size' header, tolerating TCP fragmentation. The
-        wire format has no terminator (the client sends the header with one
-        sendall then blocks on the ACK), so: accumulate until the buffer
-        parses as a complete header AND the peer pauses — a trailing-digit
-        drain window disambiguates 'name|12' from 'name|123' in flight.
-        (The reference server assumes one recv() returns the whole header,
-        server.py:24-30 — true on localhost only.)"""
+        """Read the 'name|size' header, tolerating TCP fragmentation.
+        The in-repo client newline-terminates the header, so the normal
+        path parses the moment the terminator arrives — no stall. For
+        terminator-less peers (the reference's own client format,
+        server.py:24-30, assumes one recv returns everything) fall back
+        to a short drain window that disambiguates 'name|12' from
+        'name|123' split across segments."""
         buf = b""
-        while len(buf) < 4096:
+        while len(buf) < 4096 and b"\n" not in buf:
             name_size = buf.rsplit(b"|", 1)
             parsed = len(name_size) == 2 and name_size[1].isdigit()
-            conn.settimeout(0.25 if parsed else 30.0)
+            conn.settimeout(0.05 if parsed else 30.0)
             try:
                 data = conn.recv(4096)
             except socket.timeout:
@@ -103,7 +105,7 @@ class BitstreamServer:
                 break
             buf += data
         conn.settimeout(60.0)
-        return buf.decode()
+        return buf.split(b"\n", 1)[0].decode()
 
     def _handle(self, conn: socket.socket) -> None:
         header = self._read_header(conn)

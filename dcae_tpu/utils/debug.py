@@ -49,7 +49,8 @@ def dump_codec_run(codec, x, root: str, tag: str) -> TensorDump:
 
     d = TensorDump(root, tag)
     x = jnp.asarray(x, jnp.float32)
-    y, z_sym, z_hat = codec._analyze(codec.params, x)
+    y, z_narrow, z_hat = codec._analyze(codec.params, x)
+    z_sym = z_narrow["z_symbols"]
     d.add("y", y)
     d.add("z_symbols", z_sym)
     d.add("z_hat", z_hat)

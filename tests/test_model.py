@@ -228,6 +228,17 @@ class TestRealCodec:
         dec = tiny_codec.decompress(enc8["strings"], enc8["shape"])
         assert np.isfinite(np.asarray(dec["x_hat"])).all()
 
+    def test_uint8_ingress_all_encode_entry_points(self, tiny_codec, image):
+        """Every encode entry point must normalize uint8 identically —
+        compress_with_indexes and compress_many(pipeline=True) previously
+        bypassed _as_input and encoded 0..255-scaled garbage."""
+        u8 = (image * 255).round().astype(np.uint8)
+        want = tiny_codec.compress(u8, mode="fused")["strings"]
+        got = tiny_codec.compress_with_indexes(u8)
+        assert got["strings"] == want
+        many = tiny_codec.compress_many([u8], fused=True, pipeline=True)
+        assert many[0]["strings"] == want
+
     def test_encdec_pipeline_matches_sequential(self, tiny_codec, image):
         """The overlapped serving loop must produce exactly the streams and
         reconstructions the sequential compress->decompress path does —
