@@ -127,6 +127,7 @@ class DCAECodec:
         self.tables = tables
         self._scale_table = get_scale_table(cfg.scales_min, cfg.scales_max,
                                             cfg.scales_levels)
+        self._st_dev = None  # lazily device-committed scale table
         # staged encode by default (cross-program bit-agreement by
         # construction); self_check() upgrades to "split" (2 device calls)
         # or "fused" (1 device call) when the streams bit-match
@@ -243,6 +244,7 @@ class DCAECodec:
         self.tables = build_codec_tables(eb, scale_table,
                                          tail_mass=self.cfg.gc_tail_mass)
         self._scale_table = np.asarray(scale_table, np.float32)
+        self._st_dev = None  # refresh the cached device copy
         return True
 
     def _require_tables(self) -> CodecTables:
@@ -284,6 +286,13 @@ class DCAECodec:
             return self._compress_split(x)
         return self._compress_staged(x)
 
+    def _st(self):
+        """Device-resident scale table (uploaded once, not per call)."""
+        if self._st_dev is None:
+            self._st_dev = jax.device_put(
+                jnp.asarray(self._scale_table), self.device)
+        return self._st_dev
+
     def _as_input(self, x):
         """Upload an image batch preserving uint8 (normalized on device by
         the jitted programs' _norm; 4x cheaper on the link than f32).
@@ -304,15 +313,14 @@ class DCAECodec:
 
     def _compress_fused(self, x) -> dict:
         out = self._encode(self.params, self._as_input(x),
-                           jnp.asarray(self._scale_table))
+                           self._st())
         return self._finish_fused(out)
 
     def _compress_split(self, x) -> dict:
         """2-call encode: analysis program, then one fused slice-context
         program (bit-safe with reduced-precision analysis transforms)."""
         y, z_narrow, z_hat = self._analyze(self.params, self._as_input(x))
-        out = dict(self._encode_rest(self.params, y, z_hat,
-                                     jnp.asarray(self._scale_table)))
+        out = dict(self._encode_rest(self.params, y, z_hat, self._st()))
         out.update(z_narrow)
         return self._finish_fused(out)
 
@@ -326,7 +334,7 @@ class DCAECodec:
                 else self.encode_mode)
         if mode != "fused" or not pipeline:
             return [self.compress(x, mode=mode) for x in batches]
-        st = jnp.asarray(self._scale_table)
+        st = self._st()
         results: List[dict] = []
         pending = None
         for x in list(batches) + [None]:
@@ -407,7 +415,7 @@ class DCAECodec:
         B, zh, zw, _ = z_sym.shape
         z_strings = self._encode_z(z_sym)
 
-        st = jnp.asarray(self._scale_table)
+        st = self._st()
         ls, lm, support, mu, indexes = self._start(self.params, z_hat, st)
         y_np = np.asarray(jax.device_get(y))
         y_h, y_w = y_np.shape[1], y_np.shape[2]
@@ -508,8 +516,7 @@ class DCAECodec:
         indexes (ref DCAE_6, models/dcae_6.py:760-778): ship them with the
         stream so the decoder can skip/validate its own sigma->index
         recomputation when hunting cross-device drift."""
-        out = self._encode(self.params, self._as_input(x),
-                           jnp.asarray(self._scale_table))
+        out = self._encode(self.params, self._as_input(x), self._st())
         result = self._finish_fused(out)
         result["indexes"] = np.asarray(jax.device_get(out["y_indexes"]))
         return result
@@ -531,7 +538,7 @@ class DCAECodec:
             r = codec.cfg.hyper_ratio
             self.y_h, self.y_w = zh * r, zw * r
             self.sd = codec.cfg.slice_dim
-            self.st = jnp.asarray(codec._scale_table)
+            self.st = codec._st()
 
             z_index_flat = np.repeat(np.arange(C, dtype=np.int32), zh * zw)
             z_hat = np.empty((self.B, zh, zw, C), np.float32)
