@@ -211,6 +211,9 @@ class DCAECodec:
 
         self._step = _step
         self._end = _end
+        self._decode_all = jax.jit(
+            lambda p, z_hat, symbols: model.apply(
+                {"params": p}, z_hat, symbols, method=DCAE.decode_all))
         self._synthesis = jax.jit(
             lambda p, y_hat: model.apply(
                 {"params": p}, y_hat, method=DCAE.decode_synthesis))
@@ -630,11 +633,58 @@ class DCAECodec:
 
         indexes (optional): encoder-shipped per-slice coding indexes
         (S,B,yh,yw,c) — used instead of the locally recomputed ones
-        (DCAE_6 table-shipping semantics)."""
-        job = self._DecodeJob(self, strings, shape, indexes)
+        (DCAE_6 table-shipping semantics). With indexes known upfront the
+        host rANS needs no device output at all, so the entire decode runs
+        as: host-decode every slice, then ONE fused device program
+        (DCAE.decode_all) — 1 dispatch round trip instead of 6."""
+        if indexes is not None:
+            return self._decompress_shipped_indexes(strings, shape, indexes)
+        job = self._DecodeJob(self, strings, shape)
         while job.advance():
             pass
         return {"x_hat": job.x_hat}
+
+    def _decompress_shipped_indexes(self, strings, shape, indexes) -> dict:
+        """Single-round-trip decode for the indexes-shipped (DCAE_6) mode."""
+        t = self._require_tables()
+        y_strings, z_strings = strings
+        B = len(z_strings)
+        zh, zw = int(shape[0]), int(shape[1])
+        C = self.cfg.eb_channels
+        r = self.cfg.hyper_ratio
+        y_h, y_w = zh * r, zw * r
+        sd = self.cfg.slice_dim
+        S = self.cfg.num_slices
+
+        z_index_flat = np.repeat(np.arange(C, dtype=np.int32), zh * zw)
+        z_hat = np.empty((B, zh, zw, C), np.float32)
+        for b in range(B):
+            sym = rans.decode_with_indexes(
+                z_strings[b], z_index_flat, t.factorized.quantized_cdf,
+                t.factorized.cdf_length, t.factorized.offset)
+            z_hat[b] = _unflatten_chw(sym.astype(np.float32), zh, zw, C)
+        medians = np.asarray(
+            self.params["entropy_bottleneck"]["quantiles"])[:, 0, 1]
+        z_hat = z_hat + medians.reshape(1, 1, 1, C)
+
+        idx = np.asarray(indexes).astype(np.int32)  # (S, B, yh, yw, sd)
+        lut = t.gaussian.lut
+
+        def decode_one(b: int) -> np.ndarray:
+            flat_idx = np.concatenate(
+                [_nchw_flat(idx[s, b]) for s in range(S)])
+            flat = rans.decode_with_indexes(
+                y_strings[b], flat_idx, t.gaussian.quantized_cdf,
+                t.gaussian.cdf_length, t.gaussian.offset, lut=lut)
+            per = y_h * y_w * sd
+            return np.concatenate(
+                [_unflatten_chw(flat[s * per:(s + 1) * per], y_h, y_w, sd)
+                 for s in range(S)], axis=-1)
+
+        symbols = np.stack(list(self._pool.map(decode_one, range(B))))
+        x_hat = self._decode_all(self.params, jnp.asarray(z_hat),
+                                 jnp.asarray(symbols, jnp.int32))
+        return {"x_hat": x_hat}
 
     def encdec_pipeline(self, batches: Sequence, decode_interleave: int = 2,
                         queue_depth: int = 3) -> List[dict]:

@@ -67,7 +67,7 @@ class DCAE(nn.Module):
             DictionaryCrossAttention(
                 output_dim=cfg.M, head_num=cfg.dict_head_num,
                 head_dim=cfg.dict_head_dim, mlp_rate=cfg.mlp_rate,
-                qkv_bias=cfg.qkv_bias)
+                qkv_bias=cfg.qkv_bias, pallas=cfg.pallas_attention)
             for _ in range(cfg.num_slices)
         ]
         self.cc_mean_transforms = [
@@ -393,6 +393,31 @@ class DCAE(nn.Module):
         return jnp.clip(self.g_s(y_hat).astype(jnp.float32), 0.0, 1.0)
 
     def decode_synthesis(self, y_hat: jax.Array) -> jax.Array:
+        return jnp.clip(self.g_s(y_hat).astype(jnp.float32), 0.0, 1.0)
+
+    def decode_all(self, z_hat: jax.Array, symbols: jax.Array) -> jax.Array:
+        """Whole-decode-in-one-program: all slices' symbols are already
+        known (encoder-shipped coding indexes, ref DCAE_6 models/dcae_6.py:
+        760-778, let the host rANS run to completion without the per-slice
+        device round trips), so the full channel-AR chain + synthesis fuses
+        into a single device call — decode latency drops from 6 dispatch
+        round trips to 1. symbols: (B, yh, yw, M) int.
+        No bit-agreement constraint applies here: sigma->index recomputation
+        is skipped entirely (indexes were shipped), so cross-program f32
+        fusion differences cannot desynchronize the stream."""
+        latent_scales, latent_means = self.hyper_synthesis(z_hat)
+        B = z_hat.shape[0]
+        y_h, y_w = latent_scales.shape[1], latent_scales.shape[2]
+        sd = self.cfg.slice_dim
+        y_hat = jnp.zeros((B, y_h, y_w, 0), jnp.float32)
+        for i in range(self.cfg.num_slices):
+            prev = ([] if i == 0 else list(jnp.split(y_hat, i, axis=-1)))
+            support, mu, _sigma = self._slice_context(
+                i, latent_scales, latent_means, prev, y_h, y_w)
+            y_hat_slice = self._apply_symbols(
+                i, support, mu,
+                symbols[..., i * sd:(i + 1) * sd].astype(jnp.float32))
+            y_hat = jnp.concatenate([y_hat, y_hat_slice], axis=-1)
         return jnp.clip(self.g_s(y_hat).astype(jnp.float32), 0.0, 1.0)
 
     def latent_decompress(self, y: jax.Array) -> jax.Array:

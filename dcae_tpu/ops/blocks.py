@@ -24,6 +24,12 @@ from dcae_tpu.ops.layers import Conv, Deconv, Dense, LayerNorm, gelu
 Dtype = Any
 
 
+def pallas_interpret() -> bool:
+    """Run the fused kernels in pallas interpret mode (CPU tests only):
+    lets the module-level param wiring be validated without TPU hardware."""
+    return os.environ.get("DCAE_PALLAS_INTERPRET") == "1"
+
+
 class ResidualBottleneckBlock(nn.Module):
     """1x1 -> relu -> 3x3 -> relu -> 1x1 with skip; mid = min(in,out)//2.
     (ref models/dcae.py:152-188)"""
@@ -147,7 +153,8 @@ class WMSA(nn.Module):
 
             return wmsa_v3_trainable(
                 x, qkv_kernel, qkv_bias, proj_kernel, proj_bias, rel_table,
-                window=w, heads=heads, shifted=self.shifted).astype(x.dtype)
+                window=w, heads=heads, shifted=self.shifted,
+                interpret=pallas_interpret()).astype(x.dtype)
 
         if self.shifted:
             x = jnp.roll(x, shift=(-(w // 2), -(w // 2)), axis=(1, 2))
@@ -268,7 +275,7 @@ class ResScaleConvolutionGateBlock(nn.Module):
                 mlp["fc1"]["dense"]["kernel"], mlp["fc1"]["dense"]["bias"],
                 dwk.reshape(3, 3, -1), mlp["dwconv"]["dw"]["conv"]["bias"],
                 mlp["fc2"]["dense"]["kernel"], mlp["fc2"]["dense"]["bias"],
-                apply_ln=True).astype(x.dtype)
+                apply_ln=True, interpret=pallas_interpret()).astype(x.dtype)
         else:
             h = LayerNorm(dtype=self.dtype, name="ln2")(x)
             h = ConvolutionalGLU(dim * 4, dtype=self.dtype, name="mlp")(h)

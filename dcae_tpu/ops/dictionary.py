@@ -13,13 +13,14 @@ work batched over heads, no data-dependent shapes.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from dcae_tpu.ops.blocks import ConvolutionalGLU, Scale
+from dcae_tpu.ops.blocks import ConvolutionalGLU, Scale, pallas_interpret
 from dcae_tpu.ops.layers import Conv, Dense, LayerNorm, gelu
 
 Dtype = Any
@@ -95,6 +96,7 @@ class DictionaryCrossAttention(nn.Module):
     mlp_rate: int = 4
     qkv_bias: bool = True
     dtype: Optional[Dtype] = None
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, query: jax.Array, dt: jax.Array) -> jax.Array:
@@ -135,9 +137,35 @@ class DictionaryCrossAttention(nn.Module):
         out = Dense(d, use_bias=self.qkv_bias, dtype=self.dtype,
                     name="linear")(out) + Scale(d, name="res_scale_2")(
                         shortcut)
-        h = LayerNorm(dtype=self.dtype, name="ln_mlp")(out)
-        h = ConvolutionalGLU(self.mlp_rate * d, dtype=self.dtype,
-                             name="mlp")(h)
+
+        # fused LN+GLU Pallas kernel (same fusion as the Swin blocks',
+        # ops/blocks.py). Bit-safety note: the entropy side must reproduce
+        # mu/sigma bitwise across the encoder and decoder *programs*; a
+        # pallas_call is an opaque custom call XLA cannot re-fuse, so with
+        # identical shapes both programs run the identical kernel — unlike
+        # bf16 XLA fusion, this path is cross-program deterministic (and
+        # self_check gates the codec regardless).
+        from dcae_tpu.ops.pallas.conv_glu import conv_glu_trainable, supported
+
+        env = os.environ.get("DCAE_PALLAS")
+        use_pallas = (self.pallas if env is None else env == "1") \
+            and not self.is_initializing() \
+            and supported(H, W, d, self.mlp_rate * d // 2)
+        if use_pallas:
+            p = self.variables["params"]
+            lnp, mlp = p["ln_mlp"]["ln"], p["mlp"]
+            dwk = mlp["dwconv"]["dw"]["conv"]["kernel"]
+            h = conv_glu_trainable(
+                out, lnp["scale"], lnp["bias"],
+                mlp["fc1"]["dense"]["kernel"], mlp["fc1"]["dense"]["bias"],
+                dwk.reshape(3, 3, -1), mlp["dwconv"]["dw"]["conv"]["bias"],
+                mlp["fc2"]["dense"]["kernel"], mlp["fc2"]["dense"]["bias"],
+                apply_ln=True,
+                interpret=pallas_interpret()).astype(out.dtype)
+        else:
+            h = LayerNorm(dtype=self.dtype, name="ln_mlp")(out)
+            h = ConvolutionalGLU(self.mlp_rate * d, dtype=self.dtype,
+                                 name="mlp")(h)
         out = h + Scale(d, name="res_scale_3")(out)
         return Dense(self.output_dim, dtype=self.dtype,
                      name="output_trans")(out)

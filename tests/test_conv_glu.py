@@ -124,3 +124,30 @@ def test_block_pallas_path_matches_module_path(monkeypatch):
                                         pallas=True)
     got = np.asarray(blk2.apply(v, x))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_dca_pallas_path_matches_module_path(monkeypatch):
+    """DictionaryCrossAttention pallas=True (fused LN+GLU forced to
+    interpret mode on CPU) must match the module path — exercises the
+    self.variables param wiring of the DCA mlp fusion."""
+    import dcae_tpu.ops.pallas.conv_glu as cg
+    from dcae_tpu.ops.dictionary import DictionaryCrossAttention
+
+    orig_cg = cg.conv_glu_trainable
+    monkeypatch.setattr(
+        cg, "conv_glu_trainable",
+        lambda *a, **k: orig_cg(*a, **{**k, "interpret": True}))
+    monkeypatch.delenv("DCAE_PALLAS", raising=False)
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 48)).astype(np.float32))
+    dt = jnp.asarray(rng.normal(0, 1, (16, 128)).astype(np.float32))
+    kw = dict(output_dim=64, head_num=4, head_dim=32, mlp_rate=4)
+    dca = DictionaryCrossAttention(**kw)  # d = 128: supported() admits it
+    v = dca.init(jax.random.PRNGKey(0), q, dt)
+    want = np.asarray(dca.apply(v, q, dt))
+
+    got = np.asarray(DictionaryCrossAttention(**kw, pallas=True).apply(
+        v, q, dt))
+    assert not np.allclose(got, 0)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
