@@ -21,6 +21,7 @@ returns {"strings": [y_strings, z_strings], "shape": (zh, zw)}.
 from __future__ import annotations
 
 import functools
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, List, Optional, Sequence, Tuple
 
@@ -487,32 +488,77 @@ class DCAECodec:
         whose stream bit-matches the staged (decoder-replay) reference.
         Returns True when a fast path (split or fused) is now on.
 
-        split is preferred over fused: with bf16 analysis transforms the
-        fused single-program encoder recomputes y inside its own XLA
-        program, and bf16 rounding is fusion-context-sensitive — measured
-        on a trained checkpoint, y differs across two jits of the same
-        function by up to 2^-6 on 79% of elements, flipping ~1% of the
-        sigma->index rows; one flipped index desynchronizes the serial
-        rANS stream, so the decode replay diverges catastrophically
-        (45-100% of symbols, docs/PERF.md "Cross-program determinism").
-        split shares the _analyze program's y/z with the staged path (and
-        all math after y is f32), so its bit-agreement survives trained
-        weights, and after the single-round-trip hand-off it costs the
-        same wall time as fused. Checking split first also avoids
-        compiling the big fused program at all in the common case."""
+        Two acceptance criteria, tried in order per mode:
+
+        1. Stream equality with the staged encode (cheap — one extra
+           compress). Sufficient but NOT necessary: with bf16 analysis
+           transforms the fused single-program encoder recomputes y inside
+           its own XLA program, and bf16 rounding is fusion-context-
+           sensitive — measured on a trained checkpoint, y differs across
+           two jits of the same function by up to 2^-6 on 79% of elements.
+           A different y means different symbols, hence a different (but
+           not wrong!) stream.
+        2. Decode-replay exactness (the necessary-and-sufficient
+           condition): decode the candidate stream with the real staged
+           decoder programs and require the decoded (indexes, symbols) to
+           equal the encoder's bitwise at every slice. This is what
+           correctness actually demands — the decoder's sigma->index chain
+           must reproduce the encoder's; the encoder's y itself is content,
+           not protocol.
+
+        split is checked first by default: its y comes from the same
+        _analyze program as the staged path (and all math after y is f32),
+        so criterion 1 passes even with trained bf16 weights, and it skips
+        compiling the big fused program. Set DCAE_PREFER_FUSED=1 to try the
+        1-call fused encoder (criterion 1 then 2) before split — one fewer
+        dispatch round trip per batch."""
         if image is None:
             rng = np.random.default_rng(0)
             p = self.cfg.pad_multiple
             image = rng.uniform(0, 1, (1, p, p, self.cfg.in_channels)
                                 ).astype(np.float32)
         staged = self.compress(image, mode="staged")
-        for mode in ("split", "fused"):
+        modes = ("split", "fused")
+        if os.environ.get("DCAE_PREFER_FUSED") == "1":
+            modes = ("fused", "split")
+        for mode in modes:
             if self.compress(image, mode=mode)["strings"] \
                     == staged["strings"]:
                 self.encode_mode = mode
                 return True
+        if self._roundtrip_check(image, mode="fused"):
+            self.encode_mode = "fused"
+            return True
         self.encode_mode = "staged"
         return False
+
+    def _roundtrip_check(self, image, mode: str = "fused") -> bool:
+        """Criterion-2 self_check: encode `image` with `mode`, then decode
+        the stream with the staged decoder programs and compare the decoded
+        per-slice (indexes, symbols) to the encoder's, bitwise. True means
+        the stream is exactly decodable — the only property deployment
+        needs (z is already replay-exact: integer symbols, shared table)."""
+        x = self._as_input(image)
+        if mode == "fused":
+            out = dict(self._encode(self.params, x, self._st()))
+        else:
+            y, z_narrow, z_hat = self._analyze(self.params, x)
+            out = dict(self._encode_rest(self.params, y, z_hat, self._st()))
+            out.update(z_narrow)
+        enc = self._finish_fused(out)
+        y_sym, y_idx = jax.device_get((out["y_symbols"], out["y_indexes"]))
+        y_sym = np.asarray(y_sym)
+        y_idx = np.asarray(y_idx).astype(np.int32)
+        rec: List[Tuple[np.ndarray, np.ndarray]] = []
+        job = self._DecodeJob(self, enc["strings"], enc["shape"], record=rec)
+        while job.advance():
+            pass
+        if len(rec) != y_sym.shape[0]:
+            return False
+        return all(
+            np.array_equal(idx_s.astype(np.int32), y_idx[s])
+            and np.array_equal(sym_s.astype(np.int32), y_sym[s])
+            for s, (idx_s, sym_s) in enumerate(rec))
 
     def compress_with_indexes(self, x) -> dict:
         """Fused compress that additionally returns the encoder's coding
@@ -529,11 +575,16 @@ class DCAECodec:
         batches can interleave: while this job's host rANS runs, another
         job's device step executes."""
 
-        def __init__(self, codec: "DCAECodec", strings, shape, indexes=None):
+        def __init__(self, codec: "DCAECodec", strings, shape, indexes=None,
+                     record=None):
             self.c = codec
             t = codec._require_tables()
             self.t = t
             self.indexes = indexes
+            # record (optional list): appended (indexes, symbols) np arrays
+            # per slice — the decode-replay self_check compares these
+            # against the encoder's to prove a stream exactly decodable
+            self.record = record
             y_strings, z_strings = strings
             self.B = len(z_strings)
             zh, zw = int(shape[0]), int(shape[1])
@@ -603,8 +654,11 @@ class DCAECodec:
                     lut=lut)
                 return _unflatten_chw(flat, self.y_h, self.y_w, self.sd)
 
-            return np.stack(list(self.c._pool.map(decode_one,
-                                                  range(self.B))))
+            symbols = np.stack(list(self.c._pool.map(decode_one,
+                                                     range(self.B))))
+            if self.record is not None:
+                self.record.append((idx_np, symbols))
+            return symbols
 
         def advance(self) -> bool:
             """One pipeline tick: host-decode the current slice's symbols

@@ -310,3 +310,17 @@ class TestRealCodec:
         codec = DCAECodec(DCAEConfig.tiny(), seed=1)
         with pytest.raises(RuntimeError):
             codec.compress(np.zeros((1, 64, 64, 3), np.float32))
+
+
+class TestRoundtripSelfCheck:
+    def test_roundtrip_check_passes_both_modes(self, tiny_codec, image):
+        """Criterion-2 self_check (decode-replay exactness): both fast
+        encoder modes must produce streams the staged decoder programs
+        decode back to the encoder's exact (indexes, symbols)."""
+        assert tiny_codec._roundtrip_check(image, mode="fused") is True
+        assert tiny_codec._roundtrip_check(image, mode="split") is True
+
+    def test_prefer_fused_env(self, tiny_codec, image, monkeypatch):
+        monkeypatch.setenv("DCAE_PREFER_FUSED", "1")
+        assert tiny_codec.self_check(image) is True
+        assert tiny_codec.encode_mode == "fused"
