@@ -149,6 +149,7 @@ class DictionaryCrossAttention(nn.Module):
 
         env = os.environ.get("DCAE_PALLAS")
         use_pallas = (self.pallas if env is None else env == "1") \
+            and os.environ.get("DCAE_DCA_PALLAS") != "0" \
             and not self.is_initializing() \
             and supported(H, W, d, self.mlp_rate * d // 2)
         if use_pallas:
