@@ -84,15 +84,19 @@ def main():
     # + synthesis is ONE device program (DCAE.decode_all) — 1 dispatch
     # round trip instead of 6. Trades stream size (raw 6-bit indexes ride
     # along) for latency; reported as a detail, not the headline.
-    enc_i = codec.compress_with_indexes(images[:1])
-    d1 = codec.decompress(enc_i["strings"], enc_i["shape"],
-                          indexes=enc_i["indexes"])  # warm-up/compile
-    jax.block_until_ready(d1["x_hat"])
-    t0 = time.perf_counter()
-    d1 = codec.decompress(enc_i["strings"], enc_i["shape"],
-                          indexes=enc_i["indexes"])
-    jax.block_until_ready(d1["x_hat"])
-    single_dec_1trip_ms = 1000 * (time.perf_counter() - t0)
+    single_dec_1trip_ms = -1.0  # best-effort: never risk the headline
+    try:
+        enc_i = codec.compress_with_indexes(images[:1])
+        d1 = codec.decompress(enc_i["strings"], enc_i["shape"],
+                              indexes=enc_i["indexes"])  # warm-up/compile
+        jax.block_until_ready(d1["x_hat"])
+        t0 = time.perf_counter()
+        d1 = codec.decompress(enc_i["strings"], enc_i["shape"],
+                              indexes=enc_i["indexes"])
+        jax.block_until_ready(d1["x_hat"])
+        single_dec_1trip_ms = 1000 * (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# 1-trip decode metric skipped: {e}", file=sys.stderr)
     single_enc_ms = 1000 * (t1 - t0)
 
     # batched throughput (one stream per image; the channel-AR round trips

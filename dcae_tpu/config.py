@@ -69,10 +69,13 @@ class DCAEConfig:
     # parameters/likelihoods always run in float32.
     compute_dtype: str = "float32"
 
-    # fused Pallas window attention (ops/pallas/wmsa_v3) in the Swin stages.
-    # Inference-only (pallas_call has no VJP): DCAECodec flips it on
-    # automatically on TPU backends; the training graph keeps the einsum
-    # path. Parameter trees are identical either way.
+    # fused Pallas kernels (ops/pallas/wmsa_v3 window attention + conv_glu
+    # LN+GLU, incl. the DCA entropy-model GLU) in shapes that qualify.
+    # DCAECodec flips it on automatically on TPU backends. Training keeps
+    # the einsum path by default: the kernels' custom VJP recomputes the
+    # forward, measured 0.47x vs XLA's stored-residual backward
+    # (docs/PERF.md round-3 A/B) — a memory lever, not a speed one.
+    # Parameter trees are identical either way.
     pallas_attention: bool = False
 
     # unroll the deep-stage lax.scan at trace time (same stacked param
