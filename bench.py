@@ -78,6 +78,7 @@ def main():
     dec = codec.decompress(enc["strings"], enc["shape"])
     jax.block_until_ready(dec["x_hat"])
     single_ms = 1000 * (time.perf_counter() - t0)
+    single_enc_ms = 1000 * (t1 - t0)
 
     # single-image decode in the indexes-shipped (DCAE_6) profile: the
     # host rANS runs to completion upfront, so the whole channel-AR chain
@@ -90,14 +91,13 @@ def main():
         d1 = codec.decompress(enc_i["strings"], enc_i["shape"],
                               indexes=enc_i["indexes"])  # warm-up/compile
         jax.block_until_ready(d1["x_hat"])
-        t0 = time.perf_counter()
+        t2 = time.perf_counter()
         d1 = codec.decompress(enc_i["strings"], enc_i["shape"],
                               indexes=enc_i["indexes"])
         jax.block_until_ready(d1["x_hat"])
-        single_dec_1trip_ms = 1000 * (time.perf_counter() - t0)
+        single_dec_1trip_ms = 1000 * (time.perf_counter() - t2)
     except Exception as e:
         print(f"# 1-trip decode metric skipped: {e}", file=sys.stderr)
-    single_enc_ms = 1000 * (t1 - t0)
 
     # batched throughput (one stream per image; the channel-AR round trips
     # amortize over the batch). The hosted chip is time-shared with 2-20x

@@ -129,6 +129,7 @@ class DCAECodec:
         self._scale_table = get_scale_table(cfg.scales_min, cfg.scales_max,
                                             cfg.scales_levels)
         self._st_dev = None  # lazily device-committed scale table
+        self._st_src = None  # host array the device copy was made from
         # staged encode by default (cross-program bit-agreement by
         # construction); self_check() upgrades to "split" (2 device calls)
         # or "fused" (1 device call) when the streams bit-match
@@ -291,8 +292,13 @@ class DCAECodec:
         return self._compress_staged(x)
 
     def _st(self):
-        """Device-resident scale table (uploaded once, not per call)."""
-        if self._st_dev is None:
+        """Device-resident scale table (uploaded once, not per call).
+        Keyed by the host array's identity so direct `_scale_table`
+        assignment (tools/eval.py CrossDeviceCodec.update propagates the
+        encoder's rebaked table that way) invalidates the cache — a stale
+        device copy would desynchronize the decoder's sigma->index chain."""
+        if self._st_dev is None or self._st_src is not self._scale_table:
+            self._st_src = self._scale_table
             self._st_dev = jax.device_put(
                 jnp.asarray(self._scale_table), self.device)
         return self._st_dev
@@ -518,15 +524,24 @@ class DCAECodec:
             image = rng.uniform(0, 1, (1, p, p, self.cfg.in_channels)
                                 ).astype(np.float32)
         staged = self.compress(image, mode="staged")
-        modes = ("split", "fused")
-        if os.environ.get("DCAE_PREFER_FUSED") == "1":
-            modes = ("fused", "split")
+        prefer_fused = os.environ.get("DCAE_PREFER_FUSED") == "1"
+        modes = ("fused", "split") if prefer_fused else ("split", "fused")
+        fused_rt_tried = False
         for mode in modes:
             if self.compress(image, mode=mode)["strings"] \
                     == staged["strings"]:
                 self.encode_mode = mode
                 return True
-        if self._roundtrip_check(image, mode="fused"):
+            if mode == "fused" and prefer_fused:
+                # criterion 2 must run BEFORE falling back to split here,
+                # or the flag is a no-op on exactly the bf16 trained
+                # deployments it targets (split's criterion 1 always
+                # passes structurally)
+                fused_rt_tried = True
+                if self._roundtrip_check(image, mode="fused"):
+                    self.encode_mode = "fused"
+                    return True
+        if not fused_rt_tried and self._roundtrip_check(image, mode="fused"):
             self.encode_mode = "fused"
             return True
         self.encode_mode = "staged"
@@ -575,12 +590,10 @@ class DCAECodec:
         batches can interleave: while this job's host rANS runs, another
         job's device step executes."""
 
-        def __init__(self, codec: "DCAECodec", strings, shape, indexes=None,
-                     record=None):
+        def __init__(self, codec: "DCAECodec", strings, shape, record=None):
             self.c = codec
             t = codec._require_tables()
             self.t = t
-            self.indexes = indexes
             # record (optional list): appended (indexes, symbols) np arrays
             # per slice — the decode-replay self_check compares these
             # against the encoder's to prove a stream exactly decodable
@@ -594,21 +607,7 @@ class DCAECodec:
             self.sd = codec.cfg.slice_dim
             self.st = codec._st()
 
-            z_index_flat = np.repeat(np.arange(C, dtype=np.int32), zh * zw)
-            z_hat = np.empty((self.B, zh, zw, C), np.float32)
-            for b in range(self.B):
-                # no LUT here: z is ~1% of the symbol volume and the
-                # factorized bank has eb_channels rows — a 2^16-slot fused
-                # LUT would cost ~96 MB host RAM for an unmeasurable win
-                sym = rans.decode_with_indexes(
-                    z_strings[b], z_index_flat, t.factorized.quantized_cdf,
-                    t.factorized.cdf_length, t.factorized.offset)
-                z_hat[b] = _unflatten_chw(sym.astype(np.float32), zh, zw, C)
-            # dequantize around the LIVE medians — exactly what the encoder's
-            # device graph used (baked copy may lag a training step)
-            medians = np.asarray(
-                codec.params["entropy_bottleneck"]["quantiles"])[:, 0, 1]
-            z_hat = z_hat + medians.reshape(1, 1, 1, C)
+            z_hat = codec._decode_z_hat(z_strings, zh, zw)
 
             self.decoders = []
             for b in range(self.B):
@@ -637,14 +636,10 @@ class DCAECodec:
                 pass
 
         def _host_decode(self) -> np.ndarray:
-            if self.indexes is not None:  # encoder-shipped (DCAE_6 mode)
-                idx_np = np.asarray(
-                    self.indexes[self.slice_index]).astype(np.int32)
-            else:
-                idx_np = np.asarray(jax.device_get(self.local_idx))
-                if idx_np.shape[-1] != self.sd:  # 6-bit packed (_pack6)
-                    idx_np = _unpack_idx6(idx_np, self.sd)
-                idx_np = idx_np.astype(np.int32)
+            idx_np = np.asarray(jax.device_get(self.local_idx))
+            if idx_np.shape[-1] != self.sd:  # 6-bit packed (_pack6)
+                idx_np = _unpack_idx6(idx_np, self.sd)
+            idx_np = idx_np.astype(np.int32)
             lut = self.t.gaussian.lut  # build once, outside the pool
 
             def decode_one(b: int) -> np.ndarray:
@@ -698,18 +693,15 @@ class DCAECodec:
             pass
         return {"x_hat": job.x_hat}
 
-    def _decompress_shipped_indexes(self, strings, shape, indexes) -> dict:
-        """Single-round-trip decode for the indexes-shipped (DCAE_6) mode."""
+    def _decode_z_hat(self, z_strings, zh: int, zw: int) -> np.ndarray:
+        """Host-decode the z streams and dequantize around the LIVE medians
+        — exactly what the encoder's device graph used (a baked copy may
+        lag a training step). No LUT: z is ~1% of the symbol volume and the
+        factorized bank has eb_channels rows — a 2^16-slot fused LUT would
+        cost ~96 MB host RAM for an unmeasurable win."""
         t = self._require_tables()
-        y_strings, z_strings = strings
         B = len(z_strings)
-        zh, zw = int(shape[0]), int(shape[1])
         C = self.cfg.eb_channels
-        r = self.cfg.hyper_ratio
-        y_h, y_w = zh * r, zw * r
-        sd = self.cfg.slice_dim
-        S = self.cfg.num_slices
-
         z_index_flat = np.repeat(np.arange(C, dtype=np.int32), zh * zw)
         z_hat = np.empty((B, zh, zw, C), np.float32)
         for b in range(B):
@@ -719,7 +711,20 @@ class DCAECodec:
             z_hat[b] = _unflatten_chw(sym.astype(np.float32), zh, zw, C)
         medians = np.asarray(
             self.params["entropy_bottleneck"]["quantiles"])[:, 0, 1]
-        z_hat = z_hat + medians.reshape(1, 1, 1, C)
+        return z_hat + medians.reshape(1, 1, 1, C)
+
+    def _decompress_shipped_indexes(self, strings, shape, indexes) -> dict:
+        """Single-round-trip decode for the indexes-shipped (DCAE_6) mode."""
+        t = self._require_tables()
+        y_strings, z_strings = strings
+        B = len(z_strings)
+        zh, zw = int(shape[0]), int(shape[1])
+        r = self.cfg.hyper_ratio
+        y_h, y_w = zh * r, zw * r
+        sd = self.cfg.slice_dim
+        S = self.cfg.num_slices
+
+        z_hat = self._decode_z_hat(z_strings, zh, zw)
 
         idx = np.asarray(indexes).astype(np.int32)  # (S, B, yh, yw, sd)
         lut = t.gaussian.lut

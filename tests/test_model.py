@@ -324,3 +324,28 @@ class TestRoundtripSelfCheck:
         monkeypatch.setenv("DCAE_PREFER_FUSED", "1")
         assert tiny_codec.self_check(image) is True
         assert tiny_codec.encode_mode == "fused"
+
+    def test_roundtrip_fallback_when_stream_equality_fails(
+            self, tiny_codec, image, monkeypatch):
+        """When no mode bit-matches the staged stream (simulated by
+        perturbing the staged result), self_check must fall back to the
+        decode-replay criterion and still enable the fused encoder."""
+        orig = tiny_codec.compress
+
+        def fake(x, mode=None, fused=None):
+            out = orig(x, mode=mode, fused=fused)
+            if mode == "staged":
+                out = {**out, "strings": [
+                    out["strings"][0],
+                    [s + b"X" for s in out["strings"][1]]]}
+            return out
+
+        monkeypatch.setattr(tiny_codec, "compress", fake)
+        for env in (None, "1"):
+            if env is None:
+                monkeypatch.delenv("DCAE_PREFER_FUSED", raising=False)
+            else:
+                monkeypatch.setenv("DCAE_PREFER_FUSED", env)
+            tiny_codec.encode_mode = "staged"
+            assert tiny_codec.self_check(image) is True
+            assert tiny_codec.encode_mode == "fused"
