@@ -349,3 +349,30 @@ class TestRoundtripSelfCheck:
             tiny_codec.encode_mode = "staged"
             assert tiny_codec.self_check(image) is True
             assert tiny_codec.encode_mode == "fused"
+
+
+class TestPipelineFailurePaths:
+    def test_consumer_failure_does_not_hang(self, tiny_codec, image,
+                                            monkeypatch):
+        """A decode-side exception must propagate out of encdec_pipeline
+        promptly (the producer must not stay blocked on the bounded
+        queue)."""
+        def boom(*a, **k):
+            raise RuntimeError("decode died")
+
+        monkeypatch.setattr(tiny_codec, "decompress_many", boom)
+        monkeypatch.setattr(tiny_codec, "decompress", boom)
+        batches = [image] * 6
+        with pytest.raises(RuntimeError, match="decode died"):
+            tiny_codec.encdec_pipeline(batches, decode_interleave=2)
+
+    def test_producer_failure_propagates(self, tiny_codec, image,
+                                         monkeypatch):
+        """A compress-side exception must surface in the caller, not die
+        silently in the producer thread."""
+        def boom(*a, **k):
+            raise RuntimeError("encode died")
+
+        monkeypatch.setattr(tiny_codec, "compress", boom)
+        with pytest.raises(RuntimeError, match="encode died"):
+            tiny_codec.encdec_pipeline([image] * 3, decode_interleave=2)
