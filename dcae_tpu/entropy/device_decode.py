@@ -1,0 +1,120 @@
+"""On-device rANS decode of the K-lane interleaved profile.
+
+The classic decode path is host-bound: the channel-AR loop must ship
+sigma->CDF indexes to the host, rANS-decode there, and ship symbols back —
+6 dispatch round trips per batch on a remote-accelerator link. This module
+decodes the interleaved stream format (native/rans.cpp
+`dcae_rans_encode_interleaved`) entirely inside an XLA program:
+
+  * K lanes advance in lock-step as (K,)-vector uint32 ops — one symbol per
+    lane per `lax.fori_loop` iteration (VPU work, no data-dependent shapes);
+  * the slot->(symbol, start, freq) search is a flat device-resident LUT
+    gather (rows x 2^16 entries, built once per table bake) instead of a
+    per-symbol binary search;
+  * lanes share ONE word stream: which lanes renorm this iteration is a
+    mask, and each consuming lane's word position is ptr + cumsum(mask) —
+    the exact positions the encoder's reversed round-robin emitted.
+
+Everything is uint32 arithmetic (16-bit renorm words), so it runs under
+JAX's default 32-bit ints on TPU and CPU alike. The decoder returns an
+`ok` flag (stream fully consumed AND every lane back at the encoder's
+initial state 2^16) — a free end-to-end checksum.
+
+No reference analog: the reference decodes on the CPU via CompressAI's
+rANS (ref models/dcae.py:875-893). This is the TPU-native redesign of that
+step; the classic host path remains the default/compatibility format.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SLOTS = 1 << 16
+RANS_L16 = 1 << 16
+
+
+def build_slot_tables(cdfs, cdf_lengths, offsets
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Flat slot LUTs for the device decoder.
+
+    Returns (lut_sym, lut_sf), each (rows * 2^16,):
+      lut_sym int32 — the decoded SYMBOL VALUE (bucket + row offset baked);
+      lut_sf uint32 — cdf start (low 16) | freq-1 (high 16).
+    """
+    cdfs = np.asarray(cdfs, np.int64)
+    cdf_lengths = np.asarray(cdf_lengths, np.int64).reshape(-1)
+    offsets = np.asarray(offsets, np.int64).reshape(-1)
+    rows = cdfs.shape[0]
+    lut_sym = np.zeros((rows, SLOTS), np.int32)
+    lut_sf = np.zeros((rows, SLOTS), np.uint32)
+    for r in range(rows):
+        L = int(cdf_lengths[r])
+        cdf = cdfs[r, :L]
+        if L < 2 or cdf[-1] != SLOTS:
+            raise ValueError(f"row {r}: invalid CDF (len {L})")
+        counts = np.diff(cdf)  # (L-1,) bucket frequencies, sum == 2^16
+        pos = np.repeat(np.arange(L - 1, dtype=np.int64), counts)
+        lut_sym[r] = (pos + offsets[r]).astype(np.int32)
+        starts = np.repeat(cdf[:-1], counts).astype(np.uint32)
+        freqs = np.repeat(counts, counts).astype(np.uint32)
+        lut_sf[r] = starts | ((freqs - 1) << np.uint32(16))
+    return lut_sym.reshape(-1), lut_sf.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("lanes",))
+def decode_interleaved(words: jax.Array, n_words: jax.Array,
+                       states: jax.Array, indexes: jax.Array,
+                       lut_sym: jax.Array, lut_sf: jax.Array,
+                       lanes: int) -> Tuple[jax.Array, jax.Array]:
+    """Decode `indexes.shape[0]` symbols from the interleaved stream.
+
+    words: (W,) uint16 (W >= n_words; padding ignored); n_words: scalar
+    int32 true word count; states: (lanes,) uint32 decode-start states;
+    indexes: (n,) int32 CDF-row per symbol in stream order.
+    Returns (symbols (n,) int32, ok bool)."""
+    n = indexes.shape[0]
+    K = lanes
+    T = -(-n // K)
+    pad = T * K - n
+    idx = jnp.concatenate(
+        [indexes.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
+    ).reshape(T, K)
+    tail_active = jnp.arange(K, dtype=jnp.int32) < (n - (T - 1) * K)
+    all_active = jnp.ones((K,), bool)
+    # one safety slot so masked-out gathers at ptr == n_words stay in bounds
+    words_u32 = jnp.concatenate(
+        [words.astype(jnp.uint32), jnp.zeros((1,), jnp.uint32)])
+    u16mask = jnp.uint32(0xFFFF)
+
+    def body(t, carry):
+        x, ptr, out = carry
+        active = jnp.where(t == T - 1, tail_active, all_active)
+        idx_t = idx[t]
+        slot = x & u16mask
+        flat = idx_t * SLOTS + slot.astype(jnp.int32)
+        sym = lut_sym[flat]
+        sf = lut_sf[flat]
+        start = sf & u16mask
+        freq = (sf >> jnp.uint32(16)) + jnp.uint32(1)
+        x2 = freq * (x >> jnp.uint32(16)) + slot - start
+        need = (x2 < jnp.uint32(RANS_L16)) & active
+        need_i = need.astype(jnp.int32)
+        pos = ptr + jnp.cumsum(need_i) - need_i
+        w = words_u32[jnp.minimum(pos, words_u32.shape[0] - 1)]
+        x2 = jnp.where(need, (x2 << jnp.uint32(16)) | w, x2)
+        x = jnp.where(active, x2, x)
+        out = jax.lax.dynamic_update_index_in_dim(
+            out, jnp.where(active, sym, 0), t, 0)
+        return x, ptr + jnp.sum(need_i), out
+
+    x0 = states.astype(jnp.uint32)
+    out0 = jnp.zeros((T, K), jnp.int32)
+    x, ptr, out = jax.lax.fori_loop(0, T, body, (x0, jnp.int32(0), out0))
+    ok = (ptr == n_words.astype(jnp.int32)) \
+        & jnp.all(x == jnp.uint32(RANS_L16))
+    return out.reshape(-1)[:n], ok

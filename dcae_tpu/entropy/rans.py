@@ -101,6 +101,20 @@ def _load() -> ctypes.CDLL:
             i32p, ctypes.c_int64, ctypes.c_int64,
             i32p, i32p, u64p, i32p,
         ]
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.dcae_rans_encode_interleaved.restype = ctypes.c_int64
+        lib.dcae_rans_encode_interleaved.argtypes = [
+            i32p, i32p, ctypes.c_int64,
+            i32p, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, ctypes.c_int32,
+            u16p, ctypes.c_int64, u32p,
+        ]
+        lib.dcae_rans_decode_interleaved.restype = ctypes.c_int32
+        lib.dcae_rans_decode_interleaved.argtypes = [
+            u16p, ctypes.c_int64, u32p, i32p, ctypes.c_int64,
+            i32p, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, ctypes.c_int32, i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -306,3 +320,69 @@ def pmf_to_quantized_cdf(pmf, precision: int = 16) -> np.ndarray:
     if rc != 0:
         raise ValueError(f"pmf_to_quantized_cdf failed (rc={rc})")
     return out.astype(np.int32)
+
+
+class EscapeError(ValueError):
+    """An interleaved-profile encode met a symbol outside its CDF row's
+    in-range buckets (the device decoder has no bypass path). Callers fall
+    back to the classic host-decoded stream format."""
+
+
+def encode_interleaved(symbols, indexes, cdfs, cdf_lengths, offsets,
+                       lanes: int) -> tuple[bytes, np.ndarray]:
+    """K-lane interleaved rANS encode (device-decodable profile).
+
+    uint32 lane states, 16-bit renorm words, strict round-robin symbol
+    order, ONE shared word stream. Returns (stream_bytes, states_u32[K]);
+    states are the decode-START states. Raises EscapeError when a symbol
+    falls outside its row's in-range buckets (caller falls back to the
+    classic format). See native/rans.cpp dcae_rans_encode_interleaved and
+    dcae_tpu/entropy/device_decode.py for the decoder."""
+    lib = _load()
+    symbols = _as_i32(symbols)
+    indexes = _as_i32(indexes)
+    if symbols.shape != indexes.shape:
+        raise ValueError("symbols and indexes must have equal length")
+    cdfs, cdf_lengths, offsets = _check_tables(cdfs, cdf_lengths, offsets)
+    n = symbols.size
+    states = np.empty(lanes, dtype=np.uint32)
+    capacity = 2 * n + lanes + 64  # words; <=1 renorm word per symbol
+    out = np.empty(capacity, dtype=np.uint16)
+    written = lib.dcae_rans_encode_interleaved(
+        _i32p(symbols), _i32p(indexes), n,
+        _i32p(cdfs), cdfs.shape[0], cdfs.shape[1],
+        _i32p(cdf_lengths), _i32p(offsets), lanes,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), capacity,
+        states.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    if written == -3:
+        raise EscapeError("symbol outside in-range CDF buckets")
+    if written < 0:
+        raise ValueError(f"interleaved rANS encode failed (rc={written})")
+    return out[:written].tobytes(), states
+
+
+def decode_interleaved_ref(stream: bytes, states, indexes, cdfs,
+                           cdf_lengths, offsets, lanes: int) -> np.ndarray:
+    """C++ reference decoder for the interleaved profile (tests + host
+    fallback); the production decoder runs on-device
+    (entropy/device_decode.py)."""
+    lib = _load()
+    indexes = _as_i32(indexes)
+    cdfs, cdf_lengths, offsets = _check_tables(cdfs, cdf_lengths, offsets)
+    words = np.frombuffer(stream, dtype=np.uint16)
+    words = np.ascontiguousarray(words)
+    states = np.ascontiguousarray(np.asarray(states), dtype=np.uint32)
+    if states.size != lanes:
+        raise ValueError("states must have `lanes` entries")
+    out = np.empty(indexes.size, dtype=np.int32)
+    rc = lib.dcae_rans_decode_interleaved(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), words.size,
+        states.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _i32p(indexes), indexes.size,
+        _i32p(cdfs), cdfs.shape[0], cdfs.shape[1],
+        _i32p(cdf_lengths), _i32p(offsets), lanes, _i32p(out),
+    )
+    if rc != 0:
+        raise ValueError(f"interleaved rANS decode failed (rc={rc})")
+    return out

@@ -416,4 +416,105 @@ int32_t dcae_pmf_to_quantized_cdf(const float *pmf, int64_t n,
   return 0;
 }
 
+// ---- K-lane interleaved rANS (the device-decodable profile) -----------
+//
+// A second stream format designed for DECODE ON THE ACCELERATOR:
+//   * uint32 lane state, 16-bit renorm words (all arithmetic fits int32-
+//     friendly uint32 — TPU jnp has no 64-bit ints by default);
+//   * K lanes in strict round-robin symbol order sharing ONE word stream
+//     (lane renorm points interleave deterministically, so the decoder's
+//     per-iteration cumsum of consume-masks reproduces the exact word
+//     positions — no per-lane framing or padding);
+//   * no bypass/escape coding: out-of-table symbols return -3 and the
+//     caller falls back to the classic (host-decoded) stream format.
+// The decoder lives in dcae_tpu/entropy/device_decode.py as a vectorized
+// lax.fori_loop; this C++ encoder and the reference decoder below pin the
+// format.
+//
+// Lane j's state starts (at ENCODE time) at kRansL16 = 1<<16; the encoder
+// walks symbols in REVERSE global order (lane = i % K), so the decoder
+// walks forward. `states_out[K]` receives the decode-START states.
+// Returns the number of 16-bit words written, -1 on capacity, -2 on bad
+// args, -3 on an escape (symbol outside its CDF row's in-range buckets).
+
+constexpr uint32_t kRansL16 = 1u << 16;
+
+int64_t dcae_rans_encode_interleaved(
+    const int32_t *symbols, const int32_t *indexes, int64_t n,
+    const int32_t *cdfs, int64_t cdf_rows, int64_t cdf_stride,
+    const int32_t *cdf_lengths, const int32_t *offsets, int32_t K,
+    uint16_t *out_words, int64_t out_capacity_words, uint32_t *states_out) {
+  if (n < 0 || K < 1) return -2;
+  std::vector<uint32_t> x(static_cast<size_t>(K), kRansL16);
+  std::vector<uint16_t> emitted;
+  emitted.reserve(static_cast<size_t>(n) / 2 + 16);
+
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const int32_t idx = indexes[i];
+    if (idx < 0 || idx >= cdf_rows) return -2;
+    const int32_t *cdf = cdfs + idx * cdf_stride;
+    const int32_t max_value = cdf_lengths[idx] - 2;
+    if (max_value < 0 || cdf_lengths[idx] > cdf_stride) return -2;
+    const int32_t value = symbols[i] - offsets[idx];
+    // in-range buckets only (the escape bucket `max_value` itself needs
+    // bypass bits the device decoder does not implement)
+    if (value < 0 || value >= max_value) return -3;
+    const uint32_t start = static_cast<uint32_t>(cdf[value]);
+    const uint32_t freq = static_cast<uint32_t>(cdf[value + 1] - cdf[value]);
+    if (freq == 0) return -3;
+    uint32_t &xj = x[static_cast<size_t>(i % K)];
+    // renorm while x >= freq<<16, compared shift-free (freq can be 2^16,
+    // which would overflow uint32); a single 16-bit emission suffices
+    // because x < 2^32 and freq >= 1
+    if ((xj >> kPrecision) >= freq) {
+      emitted.push_back(static_cast<uint16_t>(xj & 0xFFFFu));
+      xj >>= 16;
+    }
+    xj = ((xj / freq) << kPrecision) + (xj % freq) + start;
+  }
+
+  const int64_t n_words = static_cast<int64_t>(emitted.size());
+  if (n_words > out_capacity_words) return -1;
+  for (int64_t w = 0; w < n_words; ++w) {
+    out_words[w] = emitted[static_cast<size_t>(n_words - 1 - w)];
+  }
+  for (int32_t j = 0; j < K; ++j) states_out[j] = x[static_cast<size_t>(j)];
+  return n_words;
+}
+
+// Reference decoder for the interleaved format (tests + host fallback).
+// Mirrors the vectorized device loop word-for-word. Returns 0, or -2 on
+// bad args, -4 if the stream under/overruns or the end-state checksum
+// (every lane back at kRansL16) fails.
+int32_t dcae_rans_decode_interleaved(
+    const uint16_t *words, int64_t n_words, const uint32_t *states,
+    const int32_t *indexes, int64_t n, const int32_t *cdfs, int64_t cdf_rows,
+    int64_t cdf_stride, const int32_t *cdf_lengths, const int32_t *offsets,
+    int32_t K, int32_t *out_symbols) {
+  if (n < 0 || K < 1) return -2;
+  std::vector<uint32_t> x(states, states + K);
+  int64_t ptr = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    if (idx < 0 || idx >= cdf_rows) return -2;
+    const int32_t *cdf = cdfs + idx * cdf_stride;
+    uint32_t &xj = x[static_cast<size_t>(i % K)];
+    const uint32_t slot = xj & 0xFFFFu;
+    const int32_t value = find_symbol(cdf, cdf_lengths[idx], slot);
+    const uint32_t start = static_cast<uint32_t>(cdf[value]);
+    const uint32_t freq = static_cast<uint32_t>(cdf[value + 1] - cdf[value]);
+    xj = freq * (xj >> kPrecision) + slot - start;
+    if (xj < kRansL16) {
+      if (ptr >= n_words) return -4;
+      xj = (xj << 16) | static_cast<uint32_t>(words[ptr++]);
+    }
+    out_symbols[i] = value + offsets[idx];
+  }
+  if (ptr != n_words) return -4;
+  for (int32_t j = 0; j < K; ++j) {
+    if (x[static_cast<size_t>(j)] != kRansL16) return -4;
+  }
+  return 0;
+}
+
 }  // extern "C"

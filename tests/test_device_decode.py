@@ -1,0 +1,127 @@
+"""K-lane interleaved rANS: C++ encoder <-> device (XLA) decoder.
+
+The profile exists so decode can run without host round trips
+(entropy/device_decode.py); these tests pin the format three ways:
+C++ encode -> C++ reference decode, C++ encode -> XLA decode (the
+production pairing), and corruption/escape detection.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dcae_tpu.entropy import rans
+from dcae_tpu.entropy.device_decode import (build_slot_tables,
+                                            decode_interleaved)
+
+
+@pytest.fixture(scope="module")
+def tables():
+    rng = np.random.default_rng(7)
+    rows, maxlen = 9, 60
+    cdfs = np.zeros((rows, maxlen + 2), np.int32)
+    lengths = np.zeros(rows, np.int32)
+    offsets = rng.integers(-25, 6, rows).astype(np.int32)
+    for r in range(rows):
+        n = int(rng.integers(3, maxlen))
+        pmf = rng.uniform(0.001, 1, n).astype(np.float32)
+        pmf /= pmf.sum() * 1.0005
+        cdf = rans.pmf_to_quantized_cdf(
+            np.concatenate([pmf, [1 - pmf.sum()]]))
+        cdfs[r, :len(cdf)] = cdf
+        lengths[r] = len(cdf)
+    return cdfs, lengths, offsets
+
+
+def _draw(tables, n, seed):
+    cdfs, lengths, offsets = tables
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, cdfs.shape[0], n).astype(np.int32)
+    val = (rng.random(n) * (lengths[idx] - 2)).astype(np.int32)
+    return val + offsets[idx], idx
+
+
+@pytest.mark.parametrize("n,K", [(50_000, 1024), (49_152, 512), (777, 16),
+                                 (5, 8), (64, 64), (1, 1)])
+def test_cpp_roundtrip(tables, n, K):
+    cdfs, lengths, offsets = tables
+    sym, idx = _draw(tables, n, seed=n)
+    stream, states = rans.encode_interleaved(sym, idx, cdfs, lengths,
+                                             offsets, K)
+    out = rans.decode_interleaved_ref(stream, states, idx, cdfs, lengths,
+                                      offsets, K)
+    np.testing.assert_array_equal(out, sym)
+
+
+@pytest.mark.parametrize("n,K", [(50_000, 1024), (777, 16), (64, 64)])
+def test_device_decode_matches(tables, n, K):
+    cdfs, lengths, offsets = tables
+    sym, idx = _draw(tables, n, seed=100 + n)
+    stream, states = rans.encode_interleaved(sym, idx, cdfs, lengths,
+                                             offsets, K)
+    lut_sym, lut_sf = build_slot_tables(cdfs, lengths, offsets)
+    words = np.frombuffer(stream, np.uint16)
+    out, ok = decode_interleaved(
+        jnp.asarray(words), jnp.int32(len(words)), jnp.asarray(states),
+        jnp.asarray(idx), jnp.asarray(lut_sym), jnp.asarray(lut_sf), K)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(out), sym)
+
+
+def test_device_decode_padded_words(tables):
+    """The word buffer may be padded past n_words (static-shape buckets)."""
+    cdfs, lengths, offsets = tables
+    sym, idx = _draw(tables, 10_000, seed=3)
+    K = 256
+    stream, states = rans.encode_interleaved(sym, idx, cdfs, lengths,
+                                             offsets, K)
+    lut_sym, lut_sf = build_slot_tables(cdfs, lengths, offsets)
+    words = np.frombuffer(stream, np.uint16)
+    padded = np.concatenate([words, np.zeros(1000, np.uint16)])
+    out, ok = decode_interleaved(
+        jnp.asarray(padded), jnp.int32(len(words)), jnp.asarray(states),
+        jnp.asarray(idx), jnp.asarray(lut_sym), jnp.asarray(lut_sf), K)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(out), sym)
+
+
+def test_checksum_flags_corruption(tables):
+    cdfs, lengths, offsets = tables
+    sym, idx = _draw(tables, 30_000, seed=4)
+    K = 256
+    stream, states = rans.encode_interleaved(sym, idx, cdfs, lengths,
+                                             offsets, K)
+    lut_sym, lut_sf = build_slot_tables(cdfs, lengths, offsets)
+    words = np.frombuffer(stream, np.uint16).copy()
+    words[50] ^= 0xFFFF
+    _, ok = decode_interleaved(
+        jnp.asarray(words), jnp.int32(len(words)), jnp.asarray(states),
+        jnp.asarray(idx), jnp.asarray(lut_sym), jnp.asarray(lut_sf), K)
+    assert not bool(ok)
+
+    st2 = states.copy()
+    st2[0] += 1
+    words_ok = np.frombuffer(stream, np.uint16)
+    _, ok = decode_interleaved(
+        jnp.asarray(words_ok), jnp.int32(len(words_ok)), jnp.asarray(st2),
+        jnp.asarray(idx), jnp.asarray(lut_sym), jnp.asarray(lut_sf), K)
+    assert not bool(ok)
+
+
+def test_escape_raises(tables):
+    cdfs, lengths, offsets = tables
+    sym, idx = _draw(tables, 1000, seed=5)
+    sym[123] = 99_999
+    with pytest.raises(rans.EscapeError):
+        rans.encode_interleaved(sym, idx, cdfs, lengths, offsets, 64)
+
+
+def test_size_overhead_is_states_only(tables):
+    """Interleaving must not cost stream bytes beyond the K lane states."""
+    cdfs, lengths, offsets = tables
+    sym, idx = _draw(tables, 100_000, seed=6)
+    classic = rans.encode_with_indexes(sym, idx, cdfs, lengths, offsets)
+    stream, states = rans.encode_interleaved(sym, idx, cdfs, lengths,
+                                             offsets, 1024)
+    total = len(stream) + 4 * len(states)
+    assert total <= len(classic) * 1.10  # ~4 KB states on ~60 KB payload
