@@ -36,6 +36,16 @@ from dcae_tpu.entropy.tables import CodecTables, build_codec_tables
 from dcae_tpu.models.dcae import DCAE
 
 
+def _auto_lanes(n_symbols: int) -> int:
+    """Lane count for the interleaved profile: enough lanes to keep the
+    device loop short (T = n/K iterations), few enough that the K uint32
+    state header stays a small fraction of the payload."""
+    for k in (1024, 512, 256, 128):
+        if n_symbols >= k * 256:
+            return k
+    return 64
+
+
 def _nchw_flat(x_nhwc: np.ndarray) -> np.ndarray:
     """(H,W,C) -> channel-major flat int32 (reference symbol order)."""
     return np.ascontiguousarray(x_nhwc.transpose(2, 0, 1)).reshape(-1)
@@ -130,6 +140,8 @@ class DCAECodec:
                                             cfg.scales_levels)
         self._st_dev = None  # lazily device-committed scale table
         self._st_src = None  # host array the device copy was made from
+        self._slot_dev = None  # device slot LUTs (interleaved profile)
+        self._slot_src = None  # CodecTables they were built from
         # staged encode by default (cross-program bit-agreement by
         # construction); self_check() upgrades to "split" (2 device calls)
         # or "fused" (1 device call) when the streams bit-match
@@ -216,6 +228,11 @@ class DCAECodec:
         self._decode_all = jax.jit(
             lambda p, z_hat, symbols: model.apply(
                 {"params": p}, z_hat, symbols, method=DCAE.decode_all))
+        self._decode_streams = jax.jit(
+            lambda p, z_hat, words, n_words, states, lsym, lsf, st:
+            model.apply({"params": p}, z_hat, words, n_words, states,
+                        lsym, lsf, st,
+                        method=DCAE.decode_device_streams))
         self._synthesis = jax.jit(
             lambda p, y_hat: model.apply(
                 {"params": p}, y_hat, method=DCAE.decode_synthesis))
@@ -457,6 +474,92 @@ class DCAECodec:
             t.gaussian.quantized_cdf, t.gaussian.cdf_length,
             t.gaussian.offset) for b in range(B)]
         return {"strings": [y_strings, z_strings], "shape": (zh, zw)}
+
+    def _slot_luts(self):
+        """Device-resident slot LUTs for the on-device entropy decoder
+        (built once per table bake; ~34 MB for the 64-row Gaussian bank)."""
+        t = self._require_tables()
+        if self._slot_dev is None or self._slot_src is not t:
+            from dcae_tpu.entropy.device_decode import build_slot_tables
+            g = t.gaussian
+            lsym, lsf = build_slot_tables(g.quantized_cdf, g.cdf_length,
+                                          g.offset)
+            self._slot_dev = (jax.device_put(lsym, self.device),
+                              jax.device_put(lsf, self.device))
+            self._slot_src = t
+        return self._slot_dev
+
+    def compress_interleaved(self, x, lanes: Optional[int] = None) -> dict:
+        """Encode into the K-lane interleaved (device-decodable) profile:
+        per-slice interleaved rANS y streams + a classic z stream. The
+        matching decode (decompress_interleaved) runs the WHOLE decode —
+        entropy decode included — as one device program: no host round
+        trips. Raises rans.EscapeError when a symbol falls outside its CDF
+        row's in-range buckets (callers fall back to classic compress);
+        trained-model symbols essentially never escape.
+
+        Payload overhead vs classic: the K uint32 lane states per slice
+        (auto K keeps it ≲4% at trained rates)."""
+        t = self._require_tables()
+        x = self._as_input(x)
+        if self.encode_mode == "fused":
+            out = dict(self._encode(self.params, x, self._st()))
+        else:
+            y, z_narrow, z_hat = self._analyze(self.params, x)
+            out = dict(self._encode_rest(self.params, y, z_hat, self._st()))
+            out.update(z_narrow)
+        y_sym, y_idx, z8, zover = jax.device_get(
+            (out["y_symbols"], out["y_indexes"], out["z_symbols8"],
+             out["z_overflow8"]))
+        z_sym = (np.asarray(jax.device_get(out["z_symbols"]))
+                 if bool(zover) else np.asarray(z8).astype(np.int32))
+        z_strings = self._encode_z(z_sym)
+        y_sym = np.asarray(y_sym)
+        y_idx = np.asarray(y_idx).astype(np.int32)
+        S = y_sym.shape[0]
+        K = lanes or _auto_lanes(y_sym[0].size)
+        g = t.gaussian
+
+        def encode_slice(s: int):
+            return rans.encode_interleaved(
+                y_sym[s].reshape(-1), y_idx[s].reshape(-1),
+                g.quantized_cdf, g.cdf_length, g.offset, K)
+
+        pairs = list(self._pool.map(encode_slice, range(S)))
+        return {
+            "istreams": [p[0] for p in pairs],
+            "states": np.stack([p[1] for p in pairs]),
+            "z_strings": z_strings,
+            "shape": (z_sym.shape[1], z_sym.shape[2]),
+            "lanes": K,
+        }
+
+    def decompress_interleaved(self, enc: dict) -> dict:
+        """Decode the interleaved profile: host-decode the (tiny) z stream,
+        then ONE device program does everything else — slice contexts,
+        on-device rANS, synthesis. Returns {"x_hat", "ok"}; ok is the
+        lanes-checksum device scalar (False on stream corruption or an
+        encoder/decoder index-chain divergence)."""
+        zh, zw = int(enc["shape"][0]), int(enc["shape"][1])
+        z_hat = self._decode_z_hat(enc["z_strings"], zh, zw)
+        streams = enc["istreams"]
+        states = np.ascontiguousarray(np.asarray(enc["states"]), np.uint32)
+        S = len(streams)
+        n_words = np.array([len(b) // 2 for b in streams], np.int32)
+        # bucket the padded word buffer so stream-length jitter doesn't
+        # recompile the program
+        w_max = max(int(n_words.max()), 1)
+        w_max = -(-w_max // 4096) * 4096
+        words = np.zeros((S, w_max), np.uint16)
+        for s, b in enumerate(streams):
+            w = np.frombuffer(b, np.uint16)
+            words[s, :len(w)] = w
+        lsym, lsf = self._slot_luts()
+        x_hat, ok = self._decode_streams(
+            self.params, jnp.asarray(z_hat), jnp.asarray(words),
+            jnp.asarray(n_words), jnp.asarray(states), lsym, lsf,
+            self._st())
+        return {"x_hat": x_hat, "ok": ok}
 
     def compress_latent(self, x) -> np.ndarray:
         """Latent-handoff encode (ref DCAE_4 compress, models/dcae_4.py:728):

@@ -395,6 +395,46 @@ class DCAE(nn.Module):
     def decode_synthesis(self, y_hat: jax.Array) -> jax.Array:
         return jnp.clip(self.g_s(y_hat).astype(jnp.float32), 0.0, 1.0)
 
+    def decode_device_streams(self, z_hat: jax.Array, words: jax.Array,
+                              n_words: jax.Array, states: jax.Array,
+                              lut_sym: jax.Array, lut_sf: jax.Array,
+                              scale_table: jax.Array):
+        """Whole decode in ONE device program from K-lane interleaved rANS
+        streams (entropy/device_decode.py): the entropy decode itself runs
+        on the accelerator, so the channel-AR chain needs no host round
+        trips at all — the TPU-native redesign of the reference's
+        CPU-decode step (ref models/dcae.py:875-893).
+
+        words: (S, Wmax) uint16 per-slice streams (padded); n_words: (S,)
+        true word counts; states: (S, K) uint32 decode-start lane states.
+        Returns (x_hat, ok) — ok is the all-slices checksum (stream fully
+        consumed + every lane back at 2^16), which catches both corruption
+        and any encoder/decoder sigma->index divergence at decode time."""
+        from dcae_tpu.entropy.device_decode import decode_interleaved
+
+        latent_scales, latent_means = self.hyper_synthesis(z_hat)
+        B = z_hat.shape[0]
+        y_h, y_w = latent_scales.shape[1], latent_scales.shape[2]
+        sd = self.cfg.slice_dim
+        K = states.shape[-1]
+        y_hat = jnp.zeros((B, y_h, y_w, 0), jnp.float32)
+        ok = jnp.bool_(True)
+        for i in range(self.cfg.num_slices):
+            prev = ([] if i == 0 else list(jnp.split(y_hat, i, axis=-1)))
+            support, mu, sigma = self._slice_context(
+                i, latent_scales, latent_means, prev, y_h, y_w)
+            indexes = gaussian.build_indexes(
+                sigma, scale_table, self.cfg.scales_min).astype(jnp.int32)
+            sym, ok_i = decode_interleaved(
+                words[i], n_words[i], states[i], indexes.reshape(-1),
+                lut_sym, lut_sf, K)
+            y_hat_slice = self._apply_symbols(
+                i, support, mu,
+                sym.reshape(B, y_h, y_w, sd).astype(jnp.float32))
+            y_hat = jnp.concatenate([y_hat, y_hat_slice], axis=-1)
+            ok = ok & ok_i
+        return jnp.clip(self.g_s(y_hat).astype(jnp.float32), 0.0, 1.0), ok
+
     def decode_all(self, z_hat: jax.Array, symbols: jax.Array) -> jax.Array:
         """Whole-decode-in-one-program: all slices' symbols are already
         known (encoder-shipped coding indexes, ref DCAE_6 models/dcae_6.py:

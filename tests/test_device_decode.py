@@ -125,3 +125,62 @@ def test_size_overhead_is_states_only(tables):
                                              offsets, 1024)
     total = len(stream) + 4 * len(states)
     assert total <= len(classic) * 1.10  # ~4 KB states on ~60 KB payload
+
+
+class TestCodecInterleavedProfile:
+    """Full-codec round trip of the device-decodable profile."""
+
+    @pytest.fixture(scope="class")
+    def codec(self):
+        import jax
+        from dcae_tpu.config import DCAEConfig
+        from dcae_tpu.models.codec import DCAECodec
+
+        cfg = DCAEConfig.tiny()
+        c = DCAECodec(cfg, seed=0)
+        c.update(force=True)
+        return c
+
+    @pytest.fixture(scope="class")
+    def image(self, codec):
+        rng = np.random.default_rng(0)
+        p = codec.cfg.pad_multiple
+        return (rng.uniform(0, 1, (2, p, p, 3)) * 255).astype(np.uint8)
+
+    def test_roundtrip_matches_classic(self, codec, image):
+        classic_enc = codec.compress(image)
+        classic = codec.decompress(classic_enc["strings"],
+                                   classic_enc["shape"])
+        enc = codec.compress_interleaved(image)
+        dec = codec.decompress_interleaved(enc)
+        assert bool(dec["ok"])
+        np.testing.assert_array_equal(np.asarray(dec["x_hat"]),
+                                      np.asarray(classic["x_hat"]))
+
+    def test_corrupted_stream_flags_not_ok(self, codec, image):
+        enc = codec.compress_interleaved(image)
+        bad = dict(enc)
+        s0 = bytearray(enc["istreams"][0])
+        if len(s0) >= 2:
+            s0[0] ^= 0xFF
+        bad["istreams"] = [bytes(s0)] + list(enc["istreams"][1:])
+        dec = codec.decompress_interleaved(bad)
+        assert not bool(dec["ok"])
+
+    def test_escape_raises_for_fallback(self, codec, image, monkeypatch):
+        """Out-of-range symbols (e.g. wild random-weight outliers) must
+        surface as EscapeError so callers fall back to classic compress."""
+        import jax
+        orig = jax.device_get
+
+        def spiked(tree):
+            vals = orig(tree)
+            if isinstance(vals, tuple) and len(vals) == 4:
+                y_sym = np.array(vals[0])
+                y_sym[0].reshape(-1)[0] = 10_000
+                return (y_sym,) + tuple(vals[1:])
+            return vals
+
+        monkeypatch.setattr(jax, "device_get", spiked)
+        with pytest.raises(rans.EscapeError):
+            codec.compress_interleaved(image)
