@@ -99,6 +99,40 @@ def main():
     except Exception as e:
         print(f"# 1-trip decode metric skipped: {e}", file=sys.stderr)
 
+    # interleaved (device-decode) profile: per-slice K-lane rANS y streams
+    # the decoder entropy-decodes ON the chip — decode is host-z + ONE
+    # device program, at reference-grade bpp (+ ~4% lane-state overhead).
+    # Random weights can emit out-of-table symbols (EscapeError) — skip
+    # gracefully; trained checkpoints essentially never escape.
+    interleaved = {}
+    try:
+        enc_il = codec.compress_interleaved(images)
+        dec_il = codec.decompress_interleaved(enc_il)  # warm-up/compile
+        jax.block_until_ready(dec_il["x_hat"])
+        best_il = None
+        for _ in range(3):
+            t2 = time.perf_counter()
+            enc_il = codec.compress_interleaved(images)
+            t3 = time.perf_counter()
+            dec_il = codec.decompress_interleaved(enc_il)
+            jax.block_until_ready(dec_il["x_hat"])
+            t4 = time.perf_counter()
+            if best_il is None or t4 - t2 < sum(best_il):
+                best_il = (t3 - t2, t4 - t3)
+        il_bytes = (sum(len(s) for s in enc_il["istreams"])
+                    + enc_il["states"].nbytes
+                    + sum(len(s) for s in enc_il["z_strings"]))
+        interleaved = {
+            "img_per_sec": round(batch / sum(best_il), 4),
+            "encode_ms_per_img": round(1000 * best_il[0] / batch, 1),
+            "decode_ms_per_img": round(1000 * best_il[1] / batch, 1),
+            "ok": bool(dec_il["ok"]),
+            "bpp": round(il_bytes * 8 / (batch * 512 * 768), 4),
+            "lanes": enc_il["lanes"],
+        }
+    except Exception as e:
+        print(f"# interleaved profile skipped: {e}", file=sys.stderr)
+
     # batched throughput (one stream per image; the channel-AR round trips
     # amortize over the batch). The hosted chip is time-shared with 2-20x
     # duty-cycle swings (docs/PERF.md), so run rounds until a time budget
@@ -168,6 +202,7 @@ def main():
             "single_image_ms": round(single_ms, 1),
             "single_image_encode_ms": round(single_enc_ms, 1),
             "single_image_decode_1trip_ms": round(single_dec_1trip_ms, 1),
+            "interleaved_profile": interleaved,
             "bpp": round(total_bytes * 8 / (batch * 512 * 768), 4),
             "rounds": r,
             "encode_mode": codec.encode_mode,
