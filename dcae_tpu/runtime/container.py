@@ -64,3 +64,70 @@ def save_bin(path: str, strings, size: Tuple[int, int]) -> None:
 def read_bin(path: str, p: int = 128, z_downsample: int = 64):
     with open(path, "rb") as f:
         return unpack_bin(f.read(), p, z_downsample)
+
+
+# ---- v2: the interleaved (device-decode) profile -----------------------
+#
+# A DISTINCT magic-tagged container for the TPU-native stream format
+# (entropy/device_decode.py): per-slice K-lane interleaved rANS y streams
+# + their uint32 lane states, classic z stream. No reference analog — the
+# classic .bin above keeps byte parity with the reference; this is the
+# opt-in profile for decode-on-accelerator deployments.
+#
+# Layout:
+#   b"DTI1" | >H h | >H w | >H lanes | >B n_slices |
+#   per slice: >I len(stream) | stream | lanes*4 bytes of LE uint32 states
+#   | >I len(z_string) | z_string
+
+_MAGIC_V2 = b"DTI1"
+
+
+def pack_bin_interleaved(enc: dict, size: Tuple[int, int]) -> bytes:
+    """enc: compress_interleaved output (batch 1); size = (h, w) unpadded."""
+    import numpy as np
+
+    states = np.asarray(enc["states"], dtype="<u4")
+    lanes = int(enc["lanes"])
+    streams = enc["istreams"]
+    out = _MAGIC_V2
+    out += struct.pack(">HHHB", size[0], size[1], lanes, len(streams))
+    for s, stream in enumerate(streams):
+        out += struct.pack(">I", len(stream))
+        out += stream
+        out += states[s].tobytes()
+    z = enc["z_strings"][0]
+    out += struct.pack(">I", len(z))
+    out += z
+    return out
+
+
+def unpack_bin_interleaved(data: bytes, p: int = 128,
+                           z_downsample: int = 64):
+    """-> (enc dict for decompress_interleaved, padding, (h, w))."""
+    import numpy as np
+
+    if data[:4] != _MAGIC_V2:
+        raise ValueError("not a DTI1 interleaved container")
+    h, w, lanes, n_slices = struct.unpack(">HHHB", data[4:11])
+    off = 11
+    streams: List[bytes] = []
+    states = []
+    for _ in range(n_slices):
+        (slen,) = struct.unpack(">I", data[off: off + 4])
+        off += 4
+        streams.append(data[off: off + slen])
+        off += slen
+        states.append(np.frombuffer(data[off: off + 4 * lanes], "<u4"))
+        off += 4 * lanes
+    (zlen,) = struct.unpack(">I", data[off: off + 4])
+    off += 4
+    z_string = data[off: off + zlen]
+    padded, padding = calculate_padding(h, w, p)
+    z_shape = (padded[0] // z_downsample, padded[1] // z_downsample)
+    enc = {"istreams": streams, "states": np.stack(states),
+           "z_strings": [z_string], "shape": z_shape, "lanes": lanes}
+    return enc, padding, (h, w)
+
+
+def is_interleaved_bin(data: bytes) -> bool:
+    return data[:4] == _MAGIC_V2

@@ -30,15 +30,29 @@ def save_png(x_hat: np.ndarray, out_path: str) -> None:
     Image.fromarray(img).save(out_path)
 
 
-def compress_dir(codec: DCAECodec, data: str, save_path: str) -> None:
+def compress_dir(codec: DCAECodec, data: str, save_path: str,
+                 interleaved: bool = False) -> None:
     bin_dir = os.path.join(save_path, "bin")
     os.makedirs(bin_dir, exist_ok=True)
     for path in list_images(data):
         x = load_image(path)[None]
         h, w = x.shape[1:3]
         padded, _ = pad_spatial(jnp.asarray(x), codec.cfg.pad_multiple)
-        enc = codec.compress(padded)
         name = os.path.splitext(os.path.basename(path))[0] + ".bin"
+        if interleaved:
+            # device-decode profile (DTI1): falls back to the classic
+            # container when a symbol escapes the coding tables
+            from dcae_tpu.entropy.rans import EscapeError
+            try:
+                enc = codec.compress_interleaved(padded)
+                data_bytes = container.pack_bin_interleaved(enc, (h, w))
+                with open(os.path.join(bin_dir, name), "wb") as f:
+                    f.write(data_bytes)
+                print(f"{path} -> {name} ({len(data_bytes)} bytes, DTI1)")
+                continue
+            except EscapeError:
+                print(f"{path}: escape symbol; falling back to classic .bin")
+        enc = codec.compress(padded)
         container.save_bin(os.path.join(bin_dir, name), enc["strings"],
                            (h, w))
         print(f"{path} -> {name} "
@@ -50,9 +64,19 @@ def decompress_dir(codec: DCAECodec, data: str, save_path: str) -> None:
     os.makedirs(png_dir, exist_ok=True)
     bins = [f for f in sorted(os.listdir(data)) if f.endswith(".bin")]
     for name in bins:
-        strings, z_shape, padding, _ = container.read_bin(
-            os.path.join(data, name), codec.cfg.pad_multiple)
-        dec = codec.decompress(strings, z_shape)
+        with open(os.path.join(data, name), "rb") as f:
+            raw = f.read()
+        if container.is_interleaved_bin(raw):
+            enc, padding, _ = container.unpack_bin_interleaved(
+                raw, codec.cfg.pad_multiple, codec.cfg.z_downsample)
+            dec = codec.decompress_interleaved(enc)
+            if not bool(dec["ok"]):
+                raise ValueError(f"{name}: lanes checksum failed "
+                                 "(corrupt stream or table mismatch)")
+        else:
+            strings, z_shape, padding, _ = container.unpack_bin(
+                raw, codec.cfg.pad_multiple, codec.cfg.z_downsample)
+            dec = codec.decompress(strings, z_shape)
         x_hat = crop_spatial(dec["x_hat"], padding)
         out = os.path.join(png_dir, os.path.splitext(name)[0] + ".png")
         save_png(np.asarray(x_hat), out)
@@ -68,6 +92,9 @@ def main(argv=None):
     p.add_argument("--save_path", type=str, default="./output")
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--interleaved", action="store_true",
+                   help="write the device-decode (DTI1) container; "
+                        "decompress auto-detects either format")
     a = p.parse_args(argv)
 
     cfg = DCAEConfig.tiny() if a.tiny else DCAEConfig()
@@ -78,7 +105,7 @@ def main(argv=None):
     codec.update()
 
     if a.mode == "compress":
-        compress_dir(codec, a.data, a.save_path)
+        compress_dir(codec, a.data, a.save_path, interleaved=a.interleaved)
     else:
         decompress_dir(codec, a.data, a.save_path)
 
