@@ -944,6 +944,68 @@ class DCAECodec:
             raise err[0]
         return results
 
+    def encdec_pipeline_interleaved(self, batches: Sequence,
+                                    inflight: int = 3) -> List[dict]:
+        """Serving loop for the device-decode profile: a producer thread
+        encodes (device_get waits + GIL-free C rANS), while the consumer
+        merely DISPATCHES each batch's single decode program — the device
+        queue itself is the pipeline, so encode of batch i+1 overlaps
+        decode of batch i with no slice-level interleaving machinery.
+        `inflight` bounds un-synced decodes (device-memory backpressure).
+        Returns per-batch {"x_hat", "ok", "shape"} in order."""
+        import queue as _queue
+        import threading
+
+        batches = list(batches)
+        q: "_queue.Queue" = _queue.Queue(maxsize=max(1, inflight))
+        err: List[BaseException] = []
+        dead = threading.Event()
+
+        def _put(item) -> bool:
+            while not dead.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
+        def producer():
+            try:
+                for x in batches:
+                    if not _put(self.compress_interleaved(x)):
+                        return
+            except BaseException as e:
+                err.append(e)
+                _put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        results: List[dict] = []
+        pending: List[dict] = []
+
+        def drain(d):
+            jax.block_until_ready(d["x_hat"])
+            results.append(d)
+
+        try:
+            for _ in batches:
+                enc = q.get()
+                if enc is None:
+                    break
+                dec = self.decompress_interleaved(enc)  # async dispatch
+                pending.append({**dec, "shape": enc["shape"]})
+                if len(pending) > inflight:
+                    drain(pending.pop(0))
+            for d in pending:
+                drain(d)
+        finally:
+            dead.set()
+            t.join()
+        if err:
+            raise err[0]
+        return results
+
     def decompress_many(self, jobs: Sequence, interleave: int = 2
                         ) -> List[dict]:
         """Interleaved decode of multiple (strings, shape) jobs: one job's

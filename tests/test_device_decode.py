@@ -184,3 +184,22 @@ class TestCodecInterleavedProfile:
         monkeypatch.setattr(jax, "device_get", spiked)
         with pytest.raises(rans.EscapeError):
             codec.compress_interleaved(image)
+
+    def test_pipeline_matches_sequential(self, codec, image):
+        seq_enc = codec.compress_interleaved(image)
+        seq = codec.decompress_interleaved(seq_enc)
+        outs = codec.encdec_pipeline_interleaved([image, image], inflight=2)
+        assert len(outs) == 2
+        for o in outs:
+            assert bool(o["ok"])
+            np.testing.assert_array_equal(np.asarray(o["x_hat"]),
+                                          np.asarray(seq["x_hat"]))
+
+    def test_pipeline_producer_failure_propagates(self, codec, image,
+                                                  monkeypatch):
+        def boom(*a, **k):
+            raise RuntimeError("encode died")
+
+        monkeypatch.setattr(codec, "compress_interleaved", boom)
+        with pytest.raises(RuntimeError, match="encode died"):
+            codec.encdec_pipeline_interleaved([image] * 3)
