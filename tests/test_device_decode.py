@@ -203,3 +203,19 @@ class TestCodecInterleavedProfile:
         monkeypatch.setattr(codec, "compress_interleaved", boom)
         with pytest.raises(RuntimeError, match="encode died"):
             codec.encdec_pipeline_interleaved([image] * 3)
+
+    def test_bf16_config_roundtrip(self, image):
+        """The deployment config (bf16 transform bodies) must round-trip:
+        the profile's safety rests on the f32 entropy side + the lanes
+        checksum, not on bf16 bit-stability."""
+        from dcae_tpu.config import DCAEConfig
+        from dcae_tpu.models.codec import DCAECodec
+
+        cfg = DCAEConfig.tiny(compute_dtype="bfloat16")
+        c = DCAECodec(cfg, seed=0)
+        c.update(force=True)
+        enc = c.compress_interleaved(image)
+        dec = c.decompress_interleaved(enc)
+        assert bool(dec["ok"])
+        fwd = np.clip(np.asarray(c.forward(image)["x_hat"]), 0, 1)
+        np.testing.assert_allclose(np.asarray(dec["x_hat"]), fwd, atol=2e-2)
