@@ -66,34 +66,37 @@ def build_slot_tables(cdfs, cdf_lengths, offsets
     return lut_sym.reshape(-1), lut_sf.reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("lanes",))
+@functools.partial(jax.jit, static_argnames=("lanes", "unroll"))
 def decode_interleaved(words: jax.Array, n_words: jax.Array,
                        states: jax.Array, indexes: jax.Array,
                        lut_sym: jax.Array, lut_sf: jax.Array,
-                       lanes: int) -> Tuple[jax.Array, jax.Array]:
+                       lanes: int, unroll: int = 1
+                       ) -> Tuple[jax.Array, jax.Array]:
     """Decode `indexes.shape[0]` symbols from the interleaved stream.
 
     words: (W,) uint16 (W >= n_words; padding ignored); n_words: scalar
     int32 true word count; states: (lanes,) uint32 decode-start states;
     indexes: (n,) int32 CDF-row per symbol in stream order.
+    unroll: symbols decoded per lane per loop iteration (amortizes the
+    fori_loop's per-iteration overhead; results are identical).
     Returns (symbols (n,) int32, ok bool)."""
     n = indexes.shape[0]
     K = lanes
+    U = max(1, int(unroll))
     T = -(-n // K)
-    pad = T * K - n
+    Tp = -(-T // U) * U
+    pad = Tp * K - n
     idx = jnp.concatenate(
         [indexes.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
-    ).reshape(T, K)
-    tail_active = jnp.arange(K, dtype=jnp.int32) < (n - (T - 1) * K)
-    all_active = jnp.ones((K,), bool)
+    ).reshape(Tp, K)
+    active_rows = (jnp.arange(Tp * K, dtype=jnp.int32) < n).reshape(Tp, K)
     # one safety slot so masked-out gathers at ptr == n_words stay in bounds
     words_u32 = jnp.concatenate(
         [words.astype(jnp.uint32), jnp.zeros((1,), jnp.uint32)])
     u16mask = jnp.uint32(0xFFFF)
 
-    def body(t, carry):
-        x, ptr, out = carry
-        active = jnp.where(t == T - 1, tail_active, all_active)
+    def step(t, x, ptr, out):
+        active = active_rows[t]
         idx_t = idx[t]
         slot = x & u16mask
         flat = idx_t * SLOTS + slot.astype(jnp.int32)
@@ -112,9 +115,16 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
             out, jnp.where(active, sym, 0), t, 0)
         return x, ptr + jnp.sum(need_i), out
 
+    def body(i, carry):
+        x, ptr, out = carry
+        for s in range(U):
+            x, ptr, out = step(i * U + s, x, ptr, out)
+        return x, ptr, out
+
     x0 = states.astype(jnp.uint32)
-    out0 = jnp.zeros((T, K), jnp.int32)
-    x, ptr, out = jax.lax.fori_loop(0, T, body, (x0, jnp.int32(0), out0))
+    out0 = jnp.zeros((Tp, K), jnp.int32)
+    x, ptr, out = jax.lax.fori_loop(0, Tp // U, body,
+                                    (x0, jnp.int32(0), out0))
     ok = (ptr == n_words.astype(jnp.int32)) \
         & jnp.all(x == jnp.uint32(RANS_L16))
     return out.reshape(-1)[:n], ok

@@ -410,7 +410,13 @@ class DCAE(nn.Module):
         Returns (x_hat, ok) — ok is the all-slices checksum (stream fully
         consumed + every lane back at 2^16), which catches both corruption
         and any encoder/decoder sigma->index divergence at decode time."""
+        import os as _os
+
         from dcae_tpu.entropy.device_decode import decode_interleaved
+
+        # symbols per lane per loop iteration (identical results; trace-
+        # time knob for amortizing fori_loop overhead on real hardware)
+        unroll = int(_os.environ.get("DCAE_IL_UNROLL", "1"))
 
         latent_scales, latent_means = self.hyper_synthesis(z_hat)
         B = z_hat.shape[0]
@@ -427,7 +433,7 @@ class DCAE(nn.Module):
                 sigma, scale_table, self.cfg.scales_min).astype(jnp.int32)
             sym, ok_i = decode_interleaved(
                 words[i], n_words[i], states[i], indexes.reshape(-1),
-                lut_sym, lut_sf, K)
+                lut_sym, lut_sf, K, unroll)
             y_hat_slice = self._apply_symbols(
                 i, support, mu,
                 sym.reshape(B, y_h, y_w, sd).astype(jnp.float32))

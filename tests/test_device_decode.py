@@ -219,3 +219,21 @@ class TestCodecInterleavedProfile:
         assert bool(dec["ok"])
         fwd = np.clip(np.asarray(c.forward(image)["x_hat"]), 0, 1)
         np.testing.assert_allclose(np.asarray(dec["x_hat"]), fwd, atol=2e-2)
+
+
+@pytest.mark.parametrize("unroll", [2, 3, 8])
+def test_unroll_identical(tables, unroll):
+    cdfs, lengths, offsets = tables
+    sym, idx = _draw(tables, 10_000, seed=42)
+    K = 128
+    stream, states = rans.encode_interleaved(sym, idx, cdfs, lengths,
+                                             offsets, K)
+    lut_sym, lut_sf = build_slot_tables(cdfs, lengths, offsets)
+    words = np.frombuffer(stream, np.uint16)
+    args = (jnp.asarray(words), jnp.int32(len(words)), jnp.asarray(states),
+            jnp.asarray(idx), jnp.asarray(lut_sym), jnp.asarray(lut_sf), K)
+    base, ok0 = decode_interleaved(*args)
+    out, ok = decode_interleaved(*args, unroll)
+    assert bool(ok0) and bool(ok)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+    np.testing.assert_array_equal(np.asarray(base), sym)
