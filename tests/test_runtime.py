@@ -67,3 +67,27 @@ class TestTcpService:
         assert received["kodim01.bin"] == payload
         on_disk = tmp_path / "received_kodim01.bin"
         assert on_disk.read_bytes() == payload
+
+
+def test_interleaved_container_roundtrip():
+    """DTI1 pack/unpack preserves streams, states, lanes, and geometry."""
+    import numpy as np
+    from dcae_tpu.runtime import container
+
+    rng = np.random.default_rng(0)
+    streams = [rng.bytes(2 * int(n)) for n in rng.integers(5, 60, 5)]
+    states = rng.integers(1 << 16, 1 << 32, (5, 64), dtype=np.uint64
+                          ).astype(np.uint32)
+    enc = {"istreams": streams, "states": states, "lanes": 64,
+           "z_strings": [rng.bytes(33)], "shape": (2, 3)}
+    data = container.pack_bin_interleaved(enc, (80, 100))
+    assert container.is_interleaved_bin(data)
+    assert not container.is_interleaved_bin(b"\x00\x01classic")
+    dec, padding, (h, w) = container.unpack_bin_interleaved(data, p=128,
+                                                            z_downsample=64)
+    assert (h, w) == (80, 100)
+    assert dec["lanes"] == 64
+    assert dec["istreams"] == streams
+    assert dec["z_strings"] == [enc["z_strings"][0]]
+    np.testing.assert_array_equal(dec["states"], states)
+    assert dec["shape"] == (128 // 64, 128 // 64)

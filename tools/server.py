@@ -29,7 +29,9 @@ def main(argv=None):
         from dcae_tpu.config import DCAEConfig
         from dcae_tpu.models.codec import DCAECodec
         from dcae_tpu.ops.layers import crop_spatial
-        from dcae_tpu.runtime.container import unpack_bin
+        from dcae_tpu.runtime.container import (is_interleaved_bin,
+                                                unpack_bin,
+                                                unpack_bin_interleaved)
         from dcae_tpu.utils.checkpoint import load_params_only, load_tables
         from tools.compress_and_decompress import save_png
 
@@ -41,8 +43,16 @@ def main(argv=None):
         codec.update()
 
         def on_payload(name: str, data: bytes) -> None:
-            strings, z_shape, padding, _ = unpack_bin(data, cfg.pad_multiple)
-            dec = codec.decompress(strings, z_shape)
+            if is_interleaved_bin(data):  # device-decode profile (DTI1)
+                enc, padding, _ = unpack_bin_interleaved(
+                    data, cfg.pad_multiple, cfg.z_downsample)
+                dec = codec.decompress_interleaved(enc)
+                if not bool(dec["ok"]):
+                    raise ValueError(f"{name}: lanes checksum failed")
+            else:
+                strings, z_shape, padding, _ = unpack_bin(
+                    data, cfg.pad_multiple, cfg.z_downsample)
+                dec = codec.decompress(strings, z_shape)
             x_hat = crop_spatial(dec["x_hat"], padding)
             out = os.path.join(a.out, os.path.splitext(name)[0] + ".png")
             save_png(np.asarray(x_hat), out)
