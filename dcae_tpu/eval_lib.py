@@ -57,6 +57,36 @@ def eval_image_real(codec: DCAECodec, x: np.ndarray) -> ImageResult:
                        t1 - t0, t2 - t1)
 
 
+def eval_image_interleaved(codec: DCAECodec, x: np.ndarray) -> ImageResult:
+    """Entropy-coded round trip in the device-decode profile: bpp counts
+    the full DTI1 payload (streams + lane states + z), so the profile's
+    rate overhead is visible; the decode path is host-z + one device
+    program (no per-slice round trips)."""
+    h, w = x.shape[1:3]
+    num_pixels = h * w
+    padded, padding = pad_spatial(jnp.asarray(x), codec.cfg.pad_multiple)
+
+    t0 = time.perf_counter()
+    enc = codec.compress_interleaved(padded)
+    t1 = time.perf_counter()
+    dec = codec.decompress_interleaved(enc)
+    x_hat = jax.block_until_ready(dec["x_hat"])
+    t2 = time.perf_counter()
+    if not bool(dec["ok"]):
+        raise ValueError("interleaved decode lanes checksum failed")
+
+    x_hat = crop_spatial(x_hat, padding)
+    p = float(psnr(jnp.asarray(x), x_hat))
+    try:
+        ms = msssim_db(ms_ssim(jnp.asarray(x), x_hat))
+    except Exception:
+        ms = float("nan")
+    n_bytes = (sum(len(s) for s in enc["istreams"]) + enc["states"].nbytes
+               + sum(len(s) for s in enc["z_strings"]))
+    return ImageResult("", p, ms, n_bytes * 8.0 / num_pixels,
+                       t1 - t0, t2 - t1)
+
+
 def eval_image_forward(codec: DCAECodec, x: np.ndarray) -> ImageResult:
     """Forward-only eval: bpp from likelihoods, no bitstream."""
     h, w = x.shape[1:3]
@@ -77,11 +107,15 @@ def eval_image_forward(codec: DCAECodec, x: np.ndarray) -> ImageResult:
 
 def eval_directory(codec: DCAECodec, data_dir: str, real: bool = False,
                    limit: Optional[int] = None,
-                   verbose: bool = True) -> Dict[str, float]:
+                   verbose: bool = True,
+                   profile: str = "classic") -> Dict[str, float]:
     files = list_images(data_dir)
     if limit:
         files = files[:limit]
-    fn = eval_image_real if real else eval_image_forward
+    if real and profile == "interleaved":
+        fn = eval_image_interleaved
+    else:
+        fn = eval_image_real if real else eval_image_forward
 
     meters = {k: AverageMeter() for k in
               ("psnr", "msssim_db", "bpp", "enc_time", "dec_time")}

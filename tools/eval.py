@@ -134,6 +134,11 @@ def main(argv=None):
                    help="device for compress, e.g. tpu:0 / cpu:0 "
                         "(ref eval_1.py cross-device eval)")
     p.add_argument("--device_decoder", type=str, default=None)
+    p.add_argument("--profile", choices=["classic", "interleaved"],
+                   default="classic",
+                   help="interleaved = device-decode profile (real mode): "
+                        "entropy decoding runs on the accelerator; bpp "
+                        "counts the full DTI1 payload")
     p.add_argument("--ship_indexes", action="store_true",
                    help="with cross-device eval: encoder ships its coding "
                         "indexes so heterogeneous-precision decode is "
@@ -178,7 +183,8 @@ def main(argv=None):
         return
     if a.real:
         codec.update()  # no-op when tables came with the checkpoint
-    summary = eval_directory(codec, a.data, real=a.real, limit=a.limit)
+    summary = eval_directory(codec, a.data, real=a.real, limit=a.limit,
+                             profile=a.profile)
     if a.bd_dataset:
         from dcae_tpu.data.rd_reference import REFERENCE_RD
         golden = REFERENCE_RD[a.bd_dataset]
