@@ -108,13 +108,13 @@ def main():
     # gracefully; trained checkpoints essentially never escape.
     interleaved = {}
     try:
-        enc_il = codec.compress_interleaved(images)
+        enc_il = codec.compress_device(images)
         dec_il = codec.decompress_interleaved(enc_il)  # warm-up/compile
         jax.block_until_ready(dec_il["x_hat"])
         best_il = None
         for _ in range(3):
             t2 = time.perf_counter()
-            enc_il = codec.compress_interleaved(images)
+            enc_il = codec.compress_device(images)
             t3 = time.perf_counter()
             dec_il = codec.decompress_interleaved(enc_il)
             jax.block_until_ready(dec_il["x_hat"])

@@ -128,3 +128,101 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
     ok = (ptr == n_words.astype(jnp.int32)) \
         & jnp.all(x == jnp.uint32(RANS_L16))
     return out.reshape(-1)[:n], ok
+
+
+def build_enc_tables(cdfs, cdf_lengths, offsets
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Encode-side lookup for the interleaved profile.
+
+    Returns (enc_sf, offsets_i32, maxpos_i32, stride):
+      enc_sf (rows * stride,) uint32 — cdf start (low 16) | freq-1 (high 16)
+        for bucket position p of row r at [r * stride + p];
+      offsets_i32 (rows,) — symbol -> bucket position offset;
+      maxpos_i32 (rows,) — number of IN-RANGE buckets (length-2; the escape
+        bucket itself is out of range for this profile);
+      stride — row stride of enc_sf.
+    """
+    cdfs = np.asarray(cdfs, np.int64)
+    cdf_lengths = np.asarray(cdf_lengths, np.int64).reshape(-1)
+    offsets = np.asarray(offsets, np.int64).reshape(-1)
+    rows = cdfs.shape[0]
+    stride = int(cdf_lengths.max())  # >= length-1 buckets + slack
+    enc_sf = np.zeros((rows, stride), np.uint32)
+    for r in range(rows):
+        L = int(cdf_lengths[r])
+        cdf = cdfs[r, :L]
+        starts = cdf[:-1].astype(np.uint32)
+        freqs = np.diff(cdf).astype(np.uint32)
+        enc_sf[r, :L - 1] = starts | (np.maximum(freqs, 1) - 1) << np.uint32(16)
+    return (enc_sf.reshape(-1),
+            offsets.astype(np.int32),
+            (cdf_lengths - 2).astype(np.int32),
+            stride)
+
+
+@functools.partial(jax.jit, static_argnames=("lanes", "unroll"))
+def encode_interleaved_device(symbols: jax.Array, indexes: jax.Array,
+                              enc_sf: jax.Array, offsets: jax.Array,
+                              maxpos: jax.Array, stride: int,
+                              lanes: int, unroll: int = 1):
+    """On-device K-lane interleaved rANS ENCODE (mirror of
+    decode_interleaved; the streams are bit-identical to the C++
+    encoder's). symbols/indexes: (n,) int32 in stream order.
+
+    Returns (words (cap,) uint16 in EMISSION order — the byte stream is
+    the reversed prefix words[:n_words] — n_words int32, states (K,)
+    uint32 decode-start states, escape bool). escape=True means some
+    symbol fell outside its row's in-range buckets: the stream is invalid
+    and the caller must fall back to the classic format."""
+    n = indexes.shape[0]
+    K = lanes
+    U = max(1, int(unroll))
+    T = -(-n // K)
+    Tp = -(-T // U) * U
+    pad = Tp * K - n
+    cap = n + 1  # <=1 renorm word per symbol; slot `cap-1`... guard below
+    idx = jnp.concatenate(
+        [indexes.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
+    ).reshape(Tp, K)
+    sym = jnp.concatenate(
+        [symbols.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
+    ).reshape(Tp, K)
+    active_rows = (jnp.arange(Tp * K, dtype=jnp.int32) < n).reshape(Tp, K)
+    u16mask = jnp.uint32(0xFFFF)
+
+    def step(t, x, ptr, buf, esc):
+        active = active_rows[t]
+        idx_t = idx[t]
+        pos = sym[t] - offsets[idx_t]
+        valid = (pos >= 0) & (pos < maxpos[idx_t]) & active
+        esc = esc | jnp.any(active & ~valid)
+        pos_c = jnp.clip(pos, 0, stride - 1)
+        sf = enc_sf[idx_t * stride + pos_c]
+        start = sf & u16mask
+        freq = (sf >> jnp.uint32(16)) + jnp.uint32(1)
+        need = ((x >> jnp.uint32(16)) >= freq) & active
+        need_i = need.astype(jnp.int32)
+        # decode consumes lanes ASCENDING per iteration and the stream is
+        # the flipped emission buffer, so emit lanes DESCENDING here:
+        # lane j's slot counts the emitting lanes after it
+        after = jnp.cumsum(need_i[::-1])[::-1] - need_i
+        wpos = jnp.where(need, ptr + after, cap)  # cap -> dropped
+        buf = buf.at[wpos].set((x & u16mask).astype(jnp.uint16),
+                               mode="drop")
+        x = jnp.where(need, x >> jnp.uint32(16), x)
+        q = x // freq
+        r = x - q * freq
+        x = jnp.where(active, (q << jnp.uint32(16)) + r + start, x)
+        return x, ptr + jnp.sum(need_i), buf, esc
+
+    def body(i, carry):
+        x, ptr, buf, esc = carry
+        for s in range(U):
+            x, ptr, buf, esc = step(Tp - 1 - (i * U + s), x, ptr, buf, esc)
+        return x, ptr, buf, esc
+
+    x0 = jnp.full((K,), jnp.uint32(RANS_L16))
+    buf0 = jnp.zeros((cap,), jnp.uint16)
+    x, ptr, buf, esc = jax.lax.fori_loop(
+        0, Tp // U, body, (x0, jnp.int32(0), buf0, jnp.bool_(False)))
+    return buf, ptr, x, esc

@@ -67,7 +67,7 @@ def eval_image_interleaved(codec: DCAECodec, x: np.ndarray) -> ImageResult:
     padded, padding = pad_spatial(jnp.asarray(x), codec.cfg.pad_multiple)
 
     t0 = time.perf_counter()
-    enc = codec.compress_interleaved(padded)
+    enc = codec.compress_device(padded)
     t1 = time.perf_counter()
     dec = codec.decompress_interleaved(enc)
     x_hat = jax.block_until_ready(dec["x_hat"])

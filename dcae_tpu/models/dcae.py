@@ -395,6 +395,45 @@ class DCAE(nn.Module):
     def decode_synthesis(self, y_hat: jax.Array) -> jax.Array:
         return jnp.clip(self.g_s(y_hat).astype(jnp.float32), 0.0, 1.0)
 
+    def encode_device_streams(self, x: jax.Array, scale_table: jax.Array,
+                              enc_sf: jax.Array, enc_offsets: jax.Array,
+                              enc_maxpos: jax.Array, stride: int,
+                              lanes: int, unroll: int = 1):
+        """Whole ENCODE in one device program, entropy coding included:
+        analysis + channel-AR symbol/index computation (encode_arrays) and
+        K-lane interleaved rANS encoding of every slice
+        (entropy/device_decode.py encode_interleaved_device, bit-identical
+        to the C++ encoder). The host then fetches entropy-SIZED streams
+        (~1-2 bits/symbol trained) instead of packed raw symbols — on a
+        remote-accelerator link that fetch is the encode wire bound.
+        Returns per-slice emission-order word buffers + counts + lane
+        states + an escape flag (fall back to classic on True), plus the
+        narrow z hand-off (z stays host-coded: ~1% of symbol volume)."""
+        from dcae_tpu.entropy.device_decode import encode_interleaved_device
+
+        out = dict(self.encode_arrays(x, scale_table))
+        y_sym = out["y_symbols"]
+        y_idx = out["y_indexes"].astype(jnp.int32)
+        S = y_sym.shape[0]
+        words, n_words, states = [], [], []
+        escape = jnp.bool_(False)
+        for s in range(S):
+            buf, nw, st, esc = encode_interleaved_device(
+                y_sym[s].reshape(-1), y_idx[s].reshape(-1),
+                enc_sf, enc_offsets, enc_maxpos, stride, lanes, unroll)
+            words.append(buf)
+            n_words.append(nw)
+            states.append(st)
+            escape = escape | esc
+        res = {
+            "words": jnp.stack(words),
+            "n_words": jnp.stack(n_words),
+            "states": jnp.stack(states),
+            "escape": escape,
+        }
+        res.update(self.narrow_z(out["z_symbols"]))
+        return res
+
     def decode_device_streams(self, z_hat: jax.Array, words: jax.Array,
                               n_words: jax.Array, states: jax.Array,
                               lut_sym: jax.Array, lut_sf: jax.Array,

@@ -200,7 +200,7 @@ class TestCodecInterleavedProfile:
         def boom(*a, **k):
             raise RuntimeError("encode died")
 
-        monkeypatch.setattr(codec, "compress_interleaved", boom)
+        monkeypatch.setattr(codec, "compress_device", boom)
         with pytest.raises(RuntimeError, match="encode died"):
             codec.encdec_pipeline_interleaved([image] * 3)
 
@@ -237,3 +237,14 @@ def test_unroll_identical(tables, unroll):
     assert bool(ok0) and bool(ok)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
     np.testing.assert_array_equal(np.asarray(base), sym)
+
+    def test_compress_device_matches_host_encode(self, codec, image):
+        """The in-program device entropy encoder must emit bit-identical
+        streams to the host (C++) encoder, interchangeably decodable."""
+        a = codec.compress_interleaved(image)
+        b = codec.compress_device(image)
+        assert a["istreams"] == b["istreams"]
+        np.testing.assert_array_equal(a["states"], b["states"])
+        assert a["z_strings"] == b["z_strings"]
+        dec = codec.decompress_interleaved(b)
+        assert bool(dec["ok"])

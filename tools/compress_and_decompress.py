@@ -44,7 +44,7 @@ def compress_dir(codec: DCAECodec, data: str, save_path: str,
             # container when a symbol escapes the coding tables
             from dcae_tpu.entropy.rans import EscapeError
             try:
-                enc = codec.compress_interleaved(padded)
+                enc = codec.compress_device(padded)
                 data_bytes = container.pack_bin_interleaved(enc, (h, w))
                 with open(os.path.join(bin_dir, name), "wb") as f:
                     f.write(data_bytes)
