@@ -207,8 +207,8 @@ def encode_interleaved_device(symbols: jax.Array, indexes: jax.Array,
         # lane j's slot counts the emitting lanes after it
         after = jnp.cumsum(need_i[::-1])[::-1] - need_i
         wpos = jnp.where(need, ptr + after, cap)  # cap -> dropped
-        buf = buf.at[wpos].set((x & u16mask).astype(jnp.uint16),
-                               mode="drop")
+        # int32 buffer: 16-bit scatters lower poorly on TPU; cast at the end
+        buf = buf.at[wpos].set((x & u16mask).astype(jnp.int32), mode="drop")
         x = jnp.where(need, x >> jnp.uint32(16), x)
         q = x // freq
         r = x - q * freq
@@ -222,7 +222,7 @@ def encode_interleaved_device(symbols: jax.Array, indexes: jax.Array,
         return x, ptr, buf, esc
 
     x0 = jnp.full((K,), jnp.uint32(RANS_L16))
-    buf0 = jnp.zeros((cap,), jnp.uint16)
+    buf0 = jnp.zeros((cap,), jnp.int32)
     x, ptr, buf, esc = jax.lax.fori_loop(
         0, Tp // U, body, (x0, jnp.int32(0), buf0, jnp.bool_(False)))
-    return buf, ptr, x, esc
+    return buf.astype(jnp.uint16), ptr, x, esc
