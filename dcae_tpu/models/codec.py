@@ -36,6 +36,15 @@ from dcae_tpu.entropy.tables import CodecTables, build_codec_tables
 from dcae_tpu.models.dcae import DCAE
 
 
+def _len_bucket(n: int, cap: int) -> int:
+    """Smallest of {cap/16, cap/8, cap/4, cap/2, cap} >= n: a handful of
+    static shapes regardless of per-batch stream-length jitter."""
+    for d in (16, 8, 4, 2):
+        if n <= cap // d:
+            return max(cap // d, 1)
+    return cap
+
+
 def _auto_lanes(n_symbols: int) -> int:
     """Lane count for the interleaved profile: enough lanes to keep the
     device loop short (T = n/K iterations), few enough that the K uint32
@@ -546,9 +555,11 @@ class DCAECodec:
         z_strings = self._encode_z(z_sym)
         n_words = np.asarray(n_words)
         # second, bucketed fetch of just the emitted words (the buffers
-        # are n_symbols long; the emitted prefix is the entropy-sized part)
+        # are n_symbols long; the emitted prefix is the entropy-sized
+        # part). Buckets are cap-relative (cap/16, cap/8, ...) so rate
+        # jitter between batches cannot churn slice-program recompiles.
         cap = int(out["words"].shape[1])
-        bucket = min(cap, -(-max(int(n_words.max()), 1) // 4096) * 4096)
+        bucket = _len_bucket(int(n_words.max()), cap)
         words = np.asarray(jax.device_get(out["words"][:, :bucket]))
         streams = [words[s, :int(n_words[s])][::-1].tobytes()
                    for s in range(words.shape[0])]
@@ -618,9 +629,12 @@ class DCAECodec:
         S = len(streams)
         n_words = np.array([len(b) // 2 for b in streams], np.int32)
         # bucket the padded word buffer so stream-length jitter doesn't
-        # recompile the program
-        w_max = max(int(n_words.max()), 1)
-        w_max = -(-w_max // 4096) * 4096
+        # recompile the decode program (cap-relative buckets; cap = the
+        # per-slice symbol count, the emission-count upper bound)
+        r = self.cfg.hyper_ratio
+        cap = (z_hat.shape[0] * (zh * r) * (zw * r) * self.cfg.slice_dim
+               + 1)
+        w_max = _len_bucket(int(n_words.max()), cap)
         words = np.zeros((S, w_max), np.uint16)
         for s, b in enumerate(streams):
             w = np.frombuffer(b, np.uint16)
