@@ -80,71 +80,7 @@ def main():
     single_ms = 1000 * (time.perf_counter() - t0)
     single_enc_ms = 1000 * (t1 - t0)
 
-    # single-image decode in the indexes-shipped (DCAE_6) profile: the
-    # host rANS runs to completion upfront, so the whole channel-AR chain
-    # + synthesis is ONE device program (DCAE.decode_all) — 1 dispatch
-    # round trip instead of 6. Trades stream size (raw 6-bit indexes ride
-    # along) for latency; reported as a detail, not the headline.
-    single_dec_1trip_ms = -1.0  # best-effort: never risk the headline
-    try:
-        enc_i = codec.compress_with_indexes(images[:1])
-        d1 = codec.decompress(enc_i["strings"], enc_i["shape"],
-                              indexes=enc_i["indexes"])  # warm-up/compile
-        jax.block_until_ready(d1["x_hat"])
-        t2 = time.perf_counter()
-        d1 = codec.decompress(enc_i["strings"], enc_i["shape"],
-                              indexes=enc_i["indexes"])
-        jax.block_until_ready(d1["x_hat"])
-        single_dec_1trip_ms = 1000 * (time.perf_counter() - t2)
-    except Exception as e:
-        print(f"# 1-trip decode metric skipped: {e}", file=sys.stderr)
-
     PIPE_BATCHES = int(os.environ.get("DCAE_BENCH_PIPE_BATCHES", "6"))
-
-    # interleaved (device-decode) profile: per-slice K-lane rANS y streams
-    # the decoder entropy-decodes ON the chip — decode is host-z + ONE
-    # device program, at reference-grade bpp (+ ~4% lane-state overhead).
-    # Random weights can emit out-of-table symbols (EscapeError) — skip
-    # gracefully; trained checkpoints essentially never escape.
-    interleaved = {}
-    try:
-        enc_il = codec.compress_device(images)
-        dec_il = codec.decompress_interleaved(enc_il)  # warm-up/compile
-        jax.block_until_ready(dec_il["x_hat"])
-        best_il = None
-        for _ in range(3):
-            t2 = time.perf_counter()
-            enc_il = codec.compress_device(images)
-            t3 = time.perf_counter()
-            dec_il = codec.decompress_interleaved(enc_il)
-            jax.block_until_ready(dec_il["x_hat"])
-            t4 = time.perf_counter()
-            if best_il is None or t4 - t2 < sum(best_il):
-                best_il = (t3 - t2, t4 - t3)
-        il_bytes = (sum(len(s) for s in enc_il["istreams"])
-                    + enc_il["states"].nbytes
-                    + sum(len(s) for s in enc_il["z_strings"]))
-        # serving loop: encode overlaps the 1-program decode via the
-        # device queue itself (encdec_pipeline_interleaved)
-        pipe_il = []
-        for _ in range(2):
-            t2 = time.perf_counter()
-            outs = codec.encdec_pipeline_interleaved(
-                [images] * PIPE_BATCHES)
-            jax.block_until_ready([o["x_hat"] for o in outs])
-            pipe_il.append(time.perf_counter() - t2)
-        interleaved = {
-            "pipeline_img_per_sec": round(
-                batch * PIPE_BATCHES / min(pipe_il), 4),
-            "img_per_sec": round(batch / sum(best_il), 4),
-            "encode_ms_per_img": round(1000 * best_il[0] / batch, 1),
-            "decode_ms_per_img": round(1000 * best_il[1] / batch, 1),
-            "ok": bool(dec_il["ok"]),
-            "bpp": round(il_bytes * 8 / (batch * 512 * 768), 4),
-            "lanes": enc_il["lanes"],
-        }
-    except Exception as e:
-        print(f"# interleaved profile skipped: {e}", file=sys.stderr)
 
     # batched throughput (one stream per image; the channel-AR round trips
     # amortize over the batch). The hosted chip is time-shared with 2-20x
@@ -195,6 +131,72 @@ def main():
         pipe_times.append(time.perf_counter() - t0)
     best_pipe = min(pipe_times)
     median_pipe = float(np.median(pipe_times))
+
+    # single-image decode in the indexes-shipped (DCAE_6) profile: the
+    # host rANS runs to completion upfront, so the whole channel-AR chain
+    # + synthesis is ONE device program (DCAE.decode_all) — 1 dispatch
+    # round trip instead of 6. Trades stream size (raw 6-bit indexes ride
+    # along) for latency; reported as a detail, not the headline.
+    single_dec_1trip_ms = -1.0  # best-effort: never risk the headline
+    try:
+        enc_i = codec.compress_with_indexes(images[:1])
+        d1 = codec.decompress(enc_i["strings"], enc_i["shape"],
+                              indexes=enc_i["indexes"])  # warm-up/compile
+        jax.block_until_ready(d1["x_hat"])
+        t2 = time.perf_counter()
+        d1 = codec.decompress(enc_i["strings"], enc_i["shape"],
+                              indexes=enc_i["indexes"])
+        jax.block_until_ready(d1["x_hat"])
+        single_dec_1trip_ms = 1000 * (time.perf_counter() - t2)
+    except Exception as e:
+        print(f"# 1-trip decode metric skipped: {e}", file=sys.stderr)
+
+
+    # interleaved (device-decode) profile: per-slice K-lane rANS y streams
+    # the decoder entropy-decodes ON the chip — decode is host-z + ONE
+    # device program, at reference-grade bpp (+ ~4% lane-state overhead).
+    # Random weights can emit out-of-table symbols (EscapeError) — skip
+    # gracefully; trained checkpoints essentially never escape.
+    interleaved = {}
+    try:
+        enc_il = codec.compress_device(images)
+        dec_il = codec.decompress_interleaved(enc_il)  # warm-up/compile
+        jax.block_until_ready(dec_il["x_hat"])
+        best_il = None
+        for _ in range(3):
+            t2 = time.perf_counter()
+            enc_il = codec.compress_device(images)
+            t3 = time.perf_counter()
+            dec_il = codec.decompress_interleaved(enc_il)
+            jax.block_until_ready(dec_il["x_hat"])
+            t4 = time.perf_counter()
+            if best_il is None or t4 - t2 < sum(best_il):
+                best_il = (t3 - t2, t4 - t3)
+        il_bytes = (sum(len(s) for s in enc_il["istreams"])
+                    + enc_il["states"].nbytes
+                    + sum(len(s) for s in enc_il["z_strings"]))
+        # serving loop: encode overlaps the 1-program decode via the
+        # device queue itself (encdec_pipeline_interleaved)
+        pipe_il = []
+        for _ in range(2):
+            t2 = time.perf_counter()
+            outs = codec.encdec_pipeline_interleaved(
+                [images] * PIPE_BATCHES)
+            jax.block_until_ready([o["x_hat"] for o in outs])
+            pipe_il.append(time.perf_counter() - t2)
+        interleaved = {
+            "pipeline_img_per_sec": round(
+                batch * PIPE_BATCHES / min(pipe_il), 4),
+            "img_per_sec": round(batch / sum(best_il), 4),
+            "encode_ms_per_img": round(1000 * best_il[0] / batch, 1),
+            "decode_ms_per_img": round(1000 * best_il[1] / batch, 1),
+            "ok": bool(dec_il["ok"]),
+            "bpp": round(il_bytes * 8 / (batch * 512 * 768), 4),
+            "lanes": enc_il["lanes"],
+        }
+    except Exception as e:
+        print(f"# interleaved profile skipped: {e}", file=sys.stderr)
+
 
     n_images = batch * PIPE_BATCHES
     ips = n_images / best_pipe
