@@ -21,7 +21,7 @@ from dcae_tpu.data.datasets import list_images, load_image
 from dcae_tpu.models.codec import DCAECodec
 from dcae_tpu.ops.layers import crop_spatial, pad_spatial
 from dcae_tpu.utils.metrics import (AverageMeter, likelihood_bpp, ms_ssim,
-                                    msssim_db, psnr, real_bpp)
+                                    msssim_db, psnr)
 
 
 @dataclasses.dataclass
@@ -34,45 +34,22 @@ class ImageResult:
     dec_time: float
 
 
-def eval_image_real(codec: DCAECodec, x: np.ndarray) -> ImageResult:
-    """Entropy-coded round trip of one image (B=1 NHWC in [0,1])."""
+def _eval_coded_round_trip(codec: DCAECodec, x: np.ndarray,
+                           compress_fn, decompress_fn,
+                           byte_count_fn) -> ImageResult:
+    """Shared scaffolding of the real-coded eval modes: pad, timed
+    compress/decompress, crop, PSNR/MS-SSIM, bpp from byte_count_fn."""
     h, w = x.shape[1:3]
     num_pixels = h * w
     padded, padding = pad_spatial(jnp.asarray(x), codec.cfg.pad_multiple)
 
     t0 = time.perf_counter()
-    enc = codec.compress(padded)
+    enc = compress_fn(padded)
     t1 = time.perf_counter()
-    dec = codec.decompress(enc["strings"], enc["shape"])
+    dec = decompress_fn(enc)
     x_hat = jax.block_until_ready(dec["x_hat"])
     t2 = time.perf_counter()
-
-    x_hat = crop_spatial(x_hat, padding)
-    p = float(psnr(jnp.asarray(x), x_hat))
-    try:
-        ms = msssim_db(ms_ssim(jnp.asarray(x), x_hat))
-    except Exception:
-        ms = float("nan")  # image smaller than the 5-scale minimum
-    return ImageResult("", p, ms, real_bpp(enc["strings"], num_pixels),
-                       t1 - t0, t2 - t1)
-
-
-def eval_image_interleaved(codec: DCAECodec, x: np.ndarray) -> ImageResult:
-    """Entropy-coded round trip in the device-decode profile: bpp counts
-    the full DTI1 payload (streams + lane states + z), so the profile's
-    rate overhead is visible; the decode path is host-z + one device
-    program (no per-slice round trips)."""
-    h, w = x.shape[1:3]
-    num_pixels = h * w
-    padded, padding = pad_spatial(jnp.asarray(x), codec.cfg.pad_multiple)
-
-    t0 = time.perf_counter()
-    enc = codec.compress_device(padded)
-    t1 = time.perf_counter()
-    dec = codec.decompress_interleaved(enc)
-    x_hat = jax.block_until_ready(dec["x_hat"])
-    t2 = time.perf_counter()
-    if not bool(dec["ok"]):
+    if not bool(dec.get("ok", True)):
         raise ValueError("interleaved decode lanes checksum failed")
 
     x_hat = crop_spatial(x_hat, padding)
@@ -80,11 +57,39 @@ def eval_image_interleaved(codec: DCAECodec, x: np.ndarray) -> ImageResult:
     try:
         ms = msssim_db(ms_ssim(jnp.asarray(x), x_hat))
     except Exception:
-        ms = float("nan")
-    n_bytes = (sum(len(s) for s in enc["istreams"]) + enc["states"].nbytes
-               + sum(len(s) for s in enc["z_strings"]))
-    return ImageResult("", p, ms, n_bytes * 8.0 / num_pixels,
+        ms = float("nan")  # image smaller than the 5-scale minimum
+    return ImageResult("", p, ms, byte_count_fn(enc) * 8.0 / num_pixels,
                        t1 - t0, t2 - t1)
+
+
+def eval_image_real(codec: DCAECodec, x: np.ndarray) -> ImageResult:
+    """Entropy-coded round trip of one image (B=1 NHWC in [0,1])."""
+    return _eval_coded_round_trip(
+        codec, x,
+        codec.compress,
+        lambda enc: codec.decompress(enc["strings"], enc["shape"]),
+        lambda enc: sum(len(s) for g in enc["strings"] for s in g))
+
+
+def eval_image_interleaved(codec: DCAECodec, x: np.ndarray) -> ImageResult:
+    """Entropy-coded round trip in the device-decode profile: bpp counts
+    the full DTI1 payload (streams + lane states + z), so the profile's
+    rate overhead is visible; the decode path is host-z + one device
+    program (no per-slice round trips). An escape symbol (outside the
+    coding tables) falls back to the classic path for that image, like
+    every other profile surface."""
+    from dcae_tpu.entropy.rans import EscapeError
+
+    try:
+        return _eval_coded_round_trip(
+            codec, x,
+            codec.compress_device,
+            codec.decompress_interleaved,
+            lambda enc: (sum(len(s) for s in enc["istreams"])
+                         + enc["states"].nbytes
+                         + sum(len(s) for s in enc["z_strings"])))
+    except EscapeError:
+        return eval_image_real(codec, x)
 
 
 def eval_image_forward(codec: DCAECodec, x: np.ndarray) -> ImageResult:
@@ -112,7 +117,12 @@ def eval_directory(codec: DCAECodec, data_dir: str, real: bool = False,
     files = list_images(data_dir)
     if limit:
         files = files[:limit]
-    if real and profile == "interleaved":
+    if profile == "interleaved":
+        if not real:
+            raise ValueError(
+                "profile='interleaved' requires real=True (the device-"
+                "decode profile is an entropy-coded round trip; forward "
+                "mode has no bitstream)")
         fn = eval_image_interleaved
     else:
         fn = eval_image_real if real else eval_image_forward

@@ -185,6 +185,17 @@ class TestCodecInterleavedProfile:
         with pytest.raises(rans.EscapeError):
             codec.compress_interleaved(image)
 
+    def test_compress_device_matches_host_encode(self, codec, image):
+        """The in-program device entropy encoder must emit bit-identical
+        streams to the host (C++) encoder, interchangeably decodable."""
+        a = codec.compress_interleaved(image)
+        b = codec.compress_device(image)
+        assert a["istreams"] == b["istreams"]
+        np.testing.assert_array_equal(a["states"], b["states"])
+        assert a["z_strings"] == b["z_strings"]
+        dec = codec.decompress_interleaved(b)
+        assert bool(dec["ok"])
+
     def test_pipeline_matches_sequential(self, codec, image):
         seq_enc = codec.compress_interleaved(image)
         seq = codec.decompress_interleaved(seq_enc)
@@ -237,14 +248,3 @@ def test_unroll_identical(tables, unroll):
     assert bool(ok0) and bool(ok)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
     np.testing.assert_array_equal(np.asarray(base), sym)
-
-    def test_compress_device_matches_host_encode(self, codec, image):
-        """The in-program device entropy encoder must emit bit-identical
-        streams to the host (C++) encoder, interchangeably decodable."""
-        a = codec.compress_interleaved(image)
-        b = codec.compress_device(image)
-        assert a["istreams"] == b["istreams"]
-        np.testing.assert_array_equal(a["states"], b["states"])
-        assert a["z_strings"] == b["z_strings"]
-        dec = codec.decompress_interleaved(b)
-        assert bool(dec["ok"])
