@@ -1057,8 +1057,15 @@ class DCAECodec:
 
         def producer():
             try:
-                for x in batches:
-                    if not _put(self.compress_device(x)):
+                nxt = None
+                for i, x in enumerate(batches):
+                    cur = nxt if nxt is not None else self._as_input(x)
+                    # prefetch the NEXT batch's (async) image upload so the
+                    # h2d transfer rides the link while this batch's stream
+                    # fetch blocks — same trick as the classic pipeline
+                    nxt = (self._as_input(batches[i + 1])
+                           if i + 1 < len(batches) else None)
+                    if not _put(self.compress_device(cur)):
                         return
             except BaseException as e:
                 err.append(e)
