@@ -107,3 +107,34 @@ def test_sharded_eval_matches_single_device(images):
     for k in ("loss", "bpp_loss", "psnr"):
         np.testing.assert_allclose(float(m_shard[k]), float(m_one[k]),
                                    rtol=2e-5)
+
+
+def test_interleaved_profile_cross_device(images):
+    """Device-decode profile across devices: encode fully on device 0
+    (compress_device — entropy coding in-program), decode the SAME DTI1
+    payload independently on devices 1 and 2; ok checksums must hold and
+    reconstructions must agree bit-exactly (the shipped integer tables
+    are the single source of truth, like the classic profile)."""
+    from dcae_tpu.data.datasets import list_images, load_image
+    from dcae_tpu.models.codec import DCAECodec
+
+    devs = jax.devices()
+    assert len(devs) >= 3
+    cfg = DCAEConfig.tiny()
+    enc_codec = DCAECodec(cfg, seed=0, device=devs[0])
+    enc_codec.update(force=True)
+    dec_a = DCAECodec(cfg, params=jax.device_get(enc_codec.params),
+                      tables=enc_codec.tables, device=devs[1])
+    dec_b = DCAECodec(cfg, params=jax.device_get(enc_codec.params),
+                      tables=enc_codec.tables, device=devs[2])
+
+    files = list_images(images)[:2]
+    batch = np.stack([np.asarray(load_image(f))[:64, :64] for f in files])
+    enc = enc_codec.compress_device(batch)
+
+    outs = []
+    for dec in (dec_a, dec_b):
+        d = dec.decompress_interleaved(enc)
+        assert bool(d["ok"])
+        outs.append(np.asarray(d["x_hat"]))
+    np.testing.assert_array_equal(outs[0], outs[1])
