@@ -55,7 +55,7 @@ def build_slot_tables(cdfs, cdf_lengths, offsets
     for r in range(rows):
         L = int(cdf_lengths[r])
         cdf = cdfs[r, :L]
-        if L < 2 or cdf[-1] != SLOTS:
+        if L < 2 or cdf[0] != 0 or cdf[-1] != SLOTS:
             raise ValueError(f"row {r}: invalid CDF (len {L})")
         counts = np.diff(cdf)  # (L-1,) bucket frequencies, sum == 2^16
         pos = np.repeat(np.arange(L - 1, dtype=np.int64), counts)
@@ -152,8 +152,14 @@ def build_enc_tables(cdfs, cdf_lengths, offsets
         L = int(cdf_lengths[r])
         cdf = cdfs[r, :L]
         starts = cdf[:-1].astype(np.uint32)
+        # TRUE freq in the high bits (unlike the decode LUT's freq-1):
+        # 0 marks a zero-width bucket, which the device encoder must
+        # ESCAPE exactly like the C++ encoder ('if (freq == 0) return
+        # -3') — pmf_to_quantized_cdf never produces one, but externally
+        # supplied tables can. freq 2^16 (single-bucket row) wraps to 0
+        # and correctly escapes too: its row has no in-range buckets.
         freqs = np.diff(cdf).astype(np.uint32)
-        enc_sf[r, :L - 1] = starts | (np.maximum(freqs, 1) - 1) << np.uint32(16)
+        enc_sf[r, :L - 1] = starts | (freqs << np.uint32(16))
     return (enc_sf.reshape(-1),
             offsets.astype(np.int32),
             (cdf_lengths - 2).astype(np.int32),
@@ -194,12 +200,14 @@ def encode_interleaved_device(symbols: jax.Array, indexes: jax.Array,
         active = active_rows[t]
         idx_t = idx[t]
         pos = sym[t] - offsets[idx_t]
-        valid = (pos >= 0) & (pos < maxpos[idx_t]) & active
-        esc = esc | jnp.any(active & ~valid)
         pos_c = jnp.clip(pos, 0, stride - 1)
         sf = enc_sf[idx_t * stride + pos_c]
         start = sf & u16mask
-        freq = (sf >> jnp.uint32(16)) + jnp.uint32(1)
+        freq = sf >> jnp.uint32(16)  # TRUE freq; 0 = zero-width bucket
+        valid = ((pos >= 0) & (pos < maxpos[idx_t])
+                 & (freq > jnp.uint32(0)) & active)
+        esc = esc | jnp.any(active & ~valid)
+        freq = jnp.maximum(freq, jnp.uint32(1))  # div-safety; esc already set
         need = ((x >> jnp.uint32(16)) >= freq) & active
         need_i = need.astype(jnp.int32)
         # decode consumes lanes ASCENDING per iteration and the stream is

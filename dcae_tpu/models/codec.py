@@ -75,6 +75,16 @@ def _unpack_sym4(packed: np.ndarray) -> np.ndarray:
     return out
 
 
+def maybe_unpack_idx6(arr: np.ndarray, c: int) -> np.ndarray:
+    """Undo DCAE.pack_idx6 when `arr` is the packed hand-off (its last
+    axis is 3c/4 instead of c) — the ONE place the 'is it packed?'
+    inference lives; every consumer of the per-slice index fetch must go
+    through here so the pack condition can change in one spot."""
+    if arr.shape[-1] != c:
+        return _unpack_idx6(arr, c).astype(np.int32)
+    return arr.astype(np.int32)
+
+
 def _unpack_idx6(packed: np.ndarray, c: int) -> np.ndarray:
     """Inverse of encode_rest's 6-bit index pack: 4 indexes per 3 bytes
     along the last axis -> uint8 indexes (all < 64)."""
@@ -239,11 +249,14 @@ class DCAECodec:
         self._decode_all = jax.jit(
             lambda p, z_hat, symbols: model.apply(
                 {"params": p}, z_hat, symbols, method=DCAE.decode_all))
-        self._decode_streams = jax.jit(
-            lambda p, z_hat, words, n_words, states, lsym, lsf, st:
-            model.apply({"params": p}, z_hat, words, n_words, states,
-                        lsym, lsf, st,
-                        method=DCAE.decode_device_streams))
+        def _dec_streams_fn(p, z_hat, words, n_words, states, lsym, lsf,
+                            st, unroll):
+            return model.apply(
+                {"params": p}, z_hat, words, n_words, states, lsym, lsf,
+                st, unroll, method=DCAE.decode_device_streams)
+
+        self._decode_streams = jax.jit(_dec_streams_fn,
+                                       static_argnums=(8,))
 
         def _enc_streams_fn(p, x, st, enc_sf, offs, maxpos, stride, lanes,
                             unroll):
@@ -394,14 +407,14 @@ class DCAECodec:
             pending = out
         return results
 
-    def _finish_fused(self, out) -> dict:
+    def _fetch_encode_arrays(self, out):
         """ONE synchronizing device_get for the whole encode hand-off
         (device_get on a pytree starts every leaf's d2h copy before
         blocking, so all transfers overlap in a single round trip; per-leaf
         gets cost ~30 ms each on a tunneled link). The narrow (int8) copies
         are fetched optimistically; the rare overflow case pays one extra
-        fetch."""
-        t = self._require_tables()
+        fetch. Returns (z_sym int32 (B,zh,zw,C), y_sym int32 (S,B,h,w,sd),
+        y_idx uint8)."""
         has_z8 = "z_symbols8" in out
         z_key = "z_symbols8" if has_z8 else "z_symbols"
         zover = out["z_overflow8"] if has_z8 else False
@@ -434,7 +447,12 @@ class DCAECodec:
             y_idx = _unpack_idx6(np.asarray(idx_val), y_sym.shape[-1])
         else:
             y_idx = np.asarray(idx_val)  # uint8
+        return z_sym, y_sym, y_idx
 
+    def _finish_fused(self, out) -> dict:
+        """Host rANS encode of a device hand-off -> classic streams."""
+        t = self._require_tables()
+        z_sym, y_sym, y_idx = self._fetch_encode_arrays(out)
         B, zh, zw, _ = z_sym.shape
         z_strings = self._encode_z(z_sym)
 
@@ -480,9 +498,7 @@ class DCAECodec:
             mu_np, idx_np = jax.device_get((mu, indexes))  # one round trip
             mu_np = np.asarray(mu_np)
             idx_np = np.asarray(idx_np)
-            if idx_np.shape[-1] != sd:  # 6-bit packed (see _pack6)
-                idx_np = _unpack_idx6(idx_np, sd)
-            idx_np = idx_np.astype(np.int32)
+            idx_np = maybe_unpack_idx6(idx_np, sd)
             y_slice = y_np[..., i * sd: (i + 1) * sd]
             symbols = np.round(y_slice - mu_np).astype(np.int32)
             for b in range(B):
@@ -590,14 +606,9 @@ class DCAECodec:
             y, z_narrow, z_hat = self._analyze(self.params, x)
             out = dict(self._encode_rest(self.params, y, z_hat, self._st()))
             out.update(z_narrow)
-        y_sym, y_idx, z8, zover = jax.device_get(
-            (out["y_symbols"], out["y_indexes"], out["z_symbols8"],
-             out["z_overflow8"]))
-        z_sym = (np.asarray(jax.device_get(out["z_symbols"]))
-                 if bool(zover) else np.asarray(z8).astype(np.int32))
+        z_sym, y_sym, y_idx = self._fetch_encode_arrays(out)
         z_strings = self._encode_z(z_sym)
-        y_sym = np.asarray(y_sym)
-        y_idx = np.asarray(y_idx).astype(np.int32)
+        y_idx = y_idx.astype(np.int32)
         S = y_sym.shape[0]
         K = lanes or _auto_lanes(y_sym[0].size)
         g = t.gaussian
@@ -640,10 +651,11 @@ class DCAECodec:
             w = np.frombuffer(b, np.uint16)
             words[s, :len(w)] = w
         lsym, lsf = self._slot_luts()
+        unroll = int(os.environ.get("DCAE_IL_UNROLL", "1"))
         x_hat, ok = self._decode_streams(
             self.params, jnp.asarray(z_hat), jnp.asarray(words),
             jnp.asarray(n_words), jnp.asarray(states), lsym, lsf,
-            self._st())
+            self._st(), unroll)
         return {"x_hat": x_hat, "ok": ok}
 
     def compress_latent(self, x) -> np.ndarray:
@@ -824,10 +836,8 @@ class DCAECodec:
                 pass
 
         def _host_decode(self) -> np.ndarray:
-            idx_np = np.asarray(jax.device_get(self.local_idx))
-            if idx_np.shape[-1] != self.sd:  # 6-bit packed (_pack6)
-                idx_np = _unpack_idx6(idx_np, self.sd)
-            idx_np = idx_np.astype(np.int32)
+            idx_np = maybe_unpack_idx6(
+                np.asarray(jax.device_get(self.local_idx)), self.sd)
             lut = self.t.gaussian.lut  # build once, outside the pool
 
             def decode_one(b: int) -> np.ndarray:
@@ -933,6 +943,48 @@ class DCAECodec:
                                  jnp.asarray(symbols, jnp.int32))
         return {"x_hat": x_hat}
 
+    def _start_encode_producer(self, batches: List, encode_fn, maxsize: int):
+        """Shared serving-loop producer: a daemon thread encodes batches
+        into a bounded queue with next-batch image-upload prefetch (the
+        h2d transfer rides the link while this batch's fetch blocks).
+        Returns (queue, dead_event, thread, err_list); the consumer must
+        `dead.set(); thread.join()` in a finally block so a consumer
+        failure never leaves the producer blocked on the full queue, and
+        re-raise err_list[0] if present. A None in the queue marks a
+        producer failure."""
+        import queue as _queue
+        import threading
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=maxsize)
+        err: List[BaseException] = []
+        dead = threading.Event()  # consumer died: stop producing
+
+        def _put(item) -> bool:
+            while not dead.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
+        def producer():
+            try:
+                nxt = None
+                for i, x in enumerate(batches):
+                    cur = nxt if nxt is not None else self._as_input(x)
+                    nxt = (self._as_input(batches[i + 1])
+                           if i + 1 < len(batches) else None)
+                    if not _put(encode_fn(cur)):
+                        return
+            except BaseException as e:  # surface in the consumer
+                err.append(e)
+                _put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        return q, dead, t, err
+
     def encdec_pipeline(self, batches: Sequence, decode_interleave: int = 2,
                         queue_depth: int = 3) -> List[dict]:
         """Steady-state serving loop: encode of batch i+1 overlaps decode of
@@ -955,43 +1007,10 @@ class DCAECodec:
         grouped jobs overlap each other.
 
         Returns per-batch dicts {"strings", "shape", "x_hat"} in order."""
-        import queue as _queue
-        import threading
-
         batches = list(batches)
         k = max(1, int(decode_interleave))
-        q: "_queue.Queue" = _queue.Queue(maxsize=max(k, queue_depth))
-        err: List[BaseException] = []
-        dead = threading.Event()  # consumer died: stop producing
-
-        def _put(item) -> bool:
-            while not dead.is_set():
-                try:
-                    q.put(item, timeout=0.2)
-                    return True
-                except _queue.Full:
-                    continue
-            return False
-
-        def producer():
-            try:
-                nxt = None
-                for i, x in enumerate(batches):
-                    cur = nxt if nxt is not None else self._as_input(x)
-                    # prefetch the NEXT batch's image upload: device_put
-                    # is async, so the h2d transfer (9.4 MB uint8 per
-                    # batch-8) rides the link while compress() blocks on
-                    # this batch's symbol fetch
-                    nxt = (self._as_input(batches[i + 1])
-                           if i + 1 < len(batches) else None)
-                    if not _put(self.compress(cur)):
-                        return
-            except BaseException as e:  # surface in the consumer
-                err.append(e)
-                _put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        q, dead, t, err = self._start_encode_producer(
+            batches, self.compress, maxsize=max(k, queue_depth))
         results: List[dict] = []
 
         def flush(group: List[dict]):
@@ -1038,41 +1057,9 @@ class DCAECodec:
         decode of batch i with no slice-level interleaving machinery.
         `inflight` bounds un-synced decodes (device-memory backpressure).
         Returns per-batch {"x_hat", "ok", "shape"} in order."""
-        import queue as _queue
-        import threading
-
         batches = list(batches)
-        q: "_queue.Queue" = _queue.Queue(maxsize=max(1, inflight))
-        err: List[BaseException] = []
-        dead = threading.Event()
-
-        def _put(item) -> bool:
-            while not dead.is_set():
-                try:
-                    q.put(item, timeout=0.2)
-                    return True
-                except _queue.Full:
-                    continue
-            return False
-
-        def producer():
-            try:
-                nxt = None
-                for i, x in enumerate(batches):
-                    cur = nxt if nxt is not None else self._as_input(x)
-                    # prefetch the NEXT batch's (async) image upload so the
-                    # h2d transfer rides the link while this batch's stream
-                    # fetch blocks — same trick as the classic pipeline
-                    nxt = (self._as_input(batches[i + 1])
-                           if i + 1 < len(batches) else None)
-                    if not _put(self.compress_device(cur)):
-                        return
-            except BaseException as e:
-                err.append(e)
-                _put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        q, dead, t, err = self._start_encode_producer(
+            batches, self.compress_device, maxsize=max(1, inflight))
         results: List[dict] = []
         pending: List[dict] = []
 

@@ -437,7 +437,7 @@ class DCAE(nn.Module):
     def decode_device_streams(self, z_hat: jax.Array, words: jax.Array,
                               n_words: jax.Array, states: jax.Array,
                               lut_sym: jax.Array, lut_sf: jax.Array,
-                              scale_table: jax.Array):
+                              scale_table: jax.Array, unroll: int = 1):
         """Whole decode in ONE device program from K-lane interleaved rANS
         streams (entropy/device_decode.py): the entropy decode itself runs
         on the accelerator, so the channel-AR chain needs no host round
@@ -449,13 +449,7 @@ class DCAE(nn.Module):
         Returns (x_hat, ok) — ok is the all-slices checksum (stream fully
         consumed + every lane back at 2^16), which catches both corruption
         and any encoder/decoder sigma->index divergence at decode time."""
-        import os as _os
-
         from dcae_tpu.entropy.device_decode import decode_interleaved
-
-        # symbols per lane per loop iteration (identical results; trace-
-        # time knob for amortizing fori_loop overhead on real hardware)
-        unroll = int(_os.environ.get("DCAE_IL_UNROLL", "1"))
 
         latent_scales, latent_means = self.hyper_synthesis(z_hat)
         B = z_hat.shape[0]

@@ -282,8 +282,11 @@ int32_t dcae_rans_build_lut(const int32_t *cdfs, int64_t cdf_rows,
   for (int64_t r = 0; r < cdf_rows; ++r) {
     const int32_t *cdf = cdfs + r * cdf_stride;
     const int32_t length = cdf_lengths[r];
-    if (length < 2 || length > cdf_stride ||
+    if (length < 2 || length > cdf_stride || cdf[0] != 0 ||
         cdf[length - 1] != static_cast<int32_t>(slots)) {
+      // cdf[0] must be 0: the bucket loop writes slots [cdf[0], 2^16),
+      // and the caller's buffer may be uninitialized (np.empty) — a
+      // nonzero first entry would leave garbage entries below it
       return -2;
     }
     uint64_t *lut = lut_out + r * slots;

@@ -94,7 +94,11 @@ class BitstreamServer:
         while len(buf) < 4096 and b"\n" not in buf:
             name_size = buf.rsplit(b"|", 1)
             parsed = len(name_size) == 2 and name_size[1].isdigit()
-            conn.settimeout(0.05 if parsed else 30.0)
+            # A parseable PREFIX is not a complete header: 'name|12' and
+            # 'name|123' differ only in bytes still in flight, so keep a
+            # generous quiet window (longer than any re-chunking proxy's
+            # delivery gap) before accepting a terminator-less parse.
+            conn.settimeout(0.5 if parsed else 30.0)
             try:
                 data = conn.recv(4096)
             except socket.timeout:

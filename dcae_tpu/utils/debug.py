@@ -71,9 +71,8 @@ def dump_codec_run(codec, x, root: str, tag: str) -> TensorDump:
         mu_np = np.asarray(jax.device_get(mu))
         d.add(f"mu_{i}", mu_np)
         idx_np = np.asarray(jax.device_get(idx))
-        if idx_np.shape[-1] != sd:  # 6-bit packed (codec._pack6)
-            from dcae_tpu.models.codec import _unpack_idx6
-            idx_np = _unpack_idx6(idx_np, sd)
+        from dcae_tpu.models.codec import maybe_unpack_idx6
+        idx_np = maybe_unpack_idx6(idx_np, sd)
         d.add(f"indexes_{i}", idx_np)
         symbols = np.round(
             y_np[..., i * sd: (i + 1) * sd] - mu_np).astype(np.int32)

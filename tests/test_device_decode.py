@@ -170,18 +170,15 @@ class TestCodecInterleavedProfile:
     def test_escape_raises_for_fallback(self, codec, image, monkeypatch):
         """Out-of-range symbols (e.g. wild random-weight outliers) must
         surface as EscapeError so callers fall back to classic compress."""
-        import jax
-        orig = jax.device_get
+        orig = codec._fetch_encode_arrays
 
-        def spiked(tree):
-            vals = orig(tree)
-            if isinstance(vals, tuple) and len(vals) == 4:
-                y_sym = np.array(vals[0])
-                y_sym[0].reshape(-1)[0] = 10_000
-                return (y_sym,) + tuple(vals[1:])
-            return vals
+        def spiked(out):
+            z_sym, y_sym, y_idx = orig(out)
+            y_sym = np.array(y_sym)
+            y_sym.reshape(-1)[0] = 10_000
+            return z_sym, y_sym, y_idx
 
-        monkeypatch.setattr(jax, "device_get", spiked)
+        monkeypatch.setattr(codec, "_fetch_encode_arrays", spiked)
         with pytest.raises(rans.EscapeError):
             codec.compress_interleaved(image)
 
