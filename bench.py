@@ -36,12 +36,65 @@ def synthetic_kodak(n: int, h: int = 512, w: int = 768,
     return (np.clip(img, 0, 1) * 255).round().astype(np.uint8)
 
 
+def wait_for_device(budget_s: float) -> bool:
+    """Wait out a dead window of the hosted TPU tunnel.
+
+    The axon PJRT plugin's pool claim can block indefinitely when the
+    remote pool has no capacity (observed multi-hour windows). Probe in
+    a subprocess (so a blocked claim can be killed) until the device
+    answers a matmul or the budget elapses. Returns True when alive.
+    """
+    import subprocess
+
+    probe_src = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((2048, 2048))\n"
+        "(x @ x).block_until_ready()\n"
+        "print('alive')\n"
+    )
+    t0 = time.perf_counter()
+    first = True
+    while True:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe_src], capture_output=True,
+                timeout=90, text=True)
+            if "alive" in out.stdout:
+                if not first:
+                    print("# device probe: alive", file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        first = False
+        waited = time.perf_counter() - t0
+        if waited >= budget_s:
+            return False
+        print(f"# device probe failed ({waited:.0f}s elapsed); "
+              "retrying in 120s", file=sys.stderr, flush=True)
+        time.sleep(min(120, max(1, budget_s - waited)))
+
+
 def main():
     import jax
     from dcae_tpu.config import DCAEConfig
     from dcae_tpu.models.codec import DCAECodec
 
     import os
+
+    # Never start benching into a dead tunnel window: wait (bounded) for
+    # the chip to answer. DCAE_BENCH_WAIT_S=0 disables (e.g. CPU runs).
+    wait_s = float(os.environ.get("DCAE_BENCH_WAIT_S", "10800"))
+    if wait_s > 0 and not wait_for_device(wait_s):
+        print(json.dumps({
+            "metric": "kodak768x512_encdec_images_per_sec",
+            "value": 0.0,
+            "unit": "img/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": "TPU tunnel dead window: device probe "
+                                f"failed for {wait_s:.0f}s (pool-side "
+                                "claim starvation; see BENCH_HISTORY.md)"},
+        }))
+        return
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -50,8 +103,13 @@ def main():
     # f32; stream bit-agreement is self_check-gated below). The chip's
     # default matmul precision is bf16-class even at f32 storage
     # (docs/PERF.md), so this only halves HBM traffic, not accuracy.
-    cfg = DCAEConfig(
-        compute_dtype=os.environ.get("DCAE_BENCH_DTYPE", "bfloat16"))
+    # DCAE_BENCH_CONFIG=tiny smoke-tests the harness itself (CPU-friendly);
+    # the headline config is the full-size flagship.
+    dtype = os.environ.get("DCAE_BENCH_DTYPE", "bfloat16")
+    if os.environ.get("DCAE_BENCH_CONFIG", "full") == "tiny":
+        cfg = DCAEConfig.tiny(compute_dtype=dtype)
+    else:
+        cfg = DCAEConfig(compute_dtype=dtype)
     codec = DCAECodec(cfg, seed=0)
     # DCAE_BENCH_CKPT: benchmark trained weights (realistic bpp — random
     # weights code at ~4.4 bpp, ~8x a trained model's host-coder load)
@@ -107,16 +165,56 @@ def main():
         total_bytes = sum(len(s) for grp in enc["strings"] for s in grp)
     enc_s, dec_s = best
 
-    # (b) steady-state serving throughput: encode of batch i+1 overlaps
+    # (b) warm the interleaved (device-decode) profile: per-slice K-lane
+    # rANS y streams the decoder entropy-decodes ON the chip — decode is
+    # host-z + ONE device program, at reference-grade bpp (+ ~4%
+    # lane-state overhead). Random weights can emit out-of-table symbols
+    # (EscapeError) — skip gracefully; trained checkpoints essentially
+    # never escape. Measured enc/dec splits here; its serving loop races
+    # the classic one same-window in (c).
+    interleaved = {}
+    try:
+        enc_il = codec.compress_device(images)
+        dec_il = codec.decompress_interleaved(enc_il)  # warm-up/compile
+        jax.block_until_ready(dec_il["x_hat"])
+        best_il = None
+        for _ in range(3):
+            t2 = time.perf_counter()
+            enc_il = codec.compress_device(images)
+            t3 = time.perf_counter()
+            dec_il = codec.decompress_interleaved(enc_il)
+            jax.block_until_ready(dec_il["x_hat"])
+            t4 = time.perf_counter()
+            if best_il is None or t4 - t2 < sum(best_il):
+                best_il = (t3 - t2, t4 - t3)
+        il_bytes = (sum(len(s) for s in enc_il["istreams"])
+                    + enc_il["states"].nbytes
+                    + sum(len(s) for s in enc_il["z_strings"]))
+        interleaved = {
+            "img_per_sec": round(batch / sum(best_il), 4),
+            "encode_ms_per_img": round(1000 * best_il[0] / batch, 1),
+            "decode_ms_per_img": round(1000 * best_il[1] / batch, 1),
+            "ok": bool(dec_il["ok"]),
+            "bpp": round(il_bytes * 8 / (batch * 512 * 768), 4),
+            "lanes": enc_il["lanes"],
+        }
+    except Exception as e:
+        print(f"# interleaved profile skipped: {e}", file=sys.stderr)
+
+    # (c) steady-state serving throughput: encode of batch i+1 overlaps
     # decode of batch i (codec.encdec_pipeline) — the headline metric.
     # Each pass streams PIPE_BATCHES batches through the pipeline; images
     # per second counts every image fully encoded AND decoded. Decode
     # interleave groups CONSECUTIVE batches (full-size device programs,
-    # overlapped dispatch round trips); auto alternates 1 and 2 across
-    # rounds and best-of keeps the winner.
+    # overlapped dispatch round trips). When the interleaved profile is
+    # valid its serving loop (encdec_pipeline_interleaved) runs in the
+    # SAME budget loop, alternating with the classic one — a same-window
+    # A/B, the only comparison the time-shared chip admits.
     env_il = os.environ.get("DCAE_BENCH_DECODE_INTERLEAVE", "auto")
     stream = [images] * PIPE_BATCHES
     pipe_times = []
+    pipe_il_times = []
+    race_il = interleaved.get("ok", False)
     t_bench0 = time.perf_counter()
     r = 0
     while r < n_rounds or time.perf_counter() - t_bench0 < BUDGET_S:
@@ -129,8 +227,18 @@ def main():
         outs = codec.encdec_pipeline(stream, decode_interleave=il)
         jax.block_until_ready([o["x_hat"] for o in outs])
         pipe_times.append(time.perf_counter() - t0)
+        if race_il:
+            t0 = time.perf_counter()
+            outs = codec.encdec_pipeline_interleaved(stream)
+            jax.block_until_ready([o["x_hat"] for o in outs])
+            pipe_il_times.append(time.perf_counter() - t0)
     best_pipe = min(pipe_times)
     median_pipe = float(np.median(pipe_times))
+    if pipe_il_times:
+        interleaved["pipeline_img_per_sec"] = round(
+            batch * PIPE_BATCHES / min(pipe_il_times), 4)
+        interleaved["pipeline_median_img_per_sec"] = round(
+            batch * PIPE_BATCHES / float(np.median(pipe_il_times)), 4)
 
     # single-image decode in the indexes-shipped (DCAE_6) profile: the
     # host rANS runs to completion upfront, so the whole channel-AR chain
@@ -152,60 +260,24 @@ def main():
         print(f"# 1-trip decode metric skipped: {e}", file=sys.stderr)
 
 
-    # interleaved (device-decode) profile: per-slice K-lane rANS y streams
-    # the decoder entropy-decodes ON the chip — decode is host-z + ONE
-    # device program, at reference-grade bpp (+ ~4% lane-state overhead).
-    # Random weights can emit out-of-table symbols (EscapeError) — skip
-    # gracefully; trained checkpoints essentially never escape.
-    interleaved = {}
-    try:
-        enc_il = codec.compress_device(images)
-        dec_il = codec.decompress_interleaved(enc_il)  # warm-up/compile
-        jax.block_until_ready(dec_il["x_hat"])
-        best_il = None
-        for _ in range(3):
-            t2 = time.perf_counter()
-            enc_il = codec.compress_device(images)
-            t3 = time.perf_counter()
-            dec_il = codec.decompress_interleaved(enc_il)
-            jax.block_until_ready(dec_il["x_hat"])
-            t4 = time.perf_counter()
-            if best_il is None or t4 - t2 < sum(best_il):
-                best_il = (t3 - t2, t4 - t3)
-        il_bytes = (sum(len(s) for s in enc_il["istreams"])
-                    + enc_il["states"].nbytes
-                    + sum(len(s) for s in enc_il["z_strings"]))
-        # serving loop: encode overlaps the 1-program decode via the
-        # device queue itself (encdec_pipeline_interleaved)
-        pipe_il = []
-        for _ in range(2):
-            t2 = time.perf_counter()
-            outs = codec.encdec_pipeline_interleaved(
-                [images] * PIPE_BATCHES)
-            jax.block_until_ready([o["x_hat"] for o in outs])
-            pipe_il.append(time.perf_counter() - t2)
-        interleaved = {
-            "pipeline_img_per_sec": round(
-                batch * PIPE_BATCHES / min(pipe_il), 4),
-            "img_per_sec": round(batch / sum(best_il), 4),
-            "encode_ms_per_img": round(1000 * best_il[0] / batch, 1),
-            "decode_ms_per_img": round(1000 * best_il[1] / batch, 1),
-            "ok": bool(dec_il["ok"]),
-            "bpp": round(il_bytes * 8 / (batch * 512 * 768), 4),
-            "lanes": enc_il["lanes"],
-        }
-    except Exception as e:
-        print(f"# interleaved profile skipped: {e}", file=sys.stderr)
-
-
     n_images = batch * PIPE_BATCHES
     ips = n_images / best_pipe
+    # headline = best DEPLOYABLE serving profile. The interleaved
+    # device-decode profile is a complete codec (reference-grade bpp,
+    # end-to-end checksum in dec["ok"]); when it wins the serving race
+    # it is the number a user gets, so it is the number we report.
+    profile = "classic"
+    if (interleaved.get("ok")
+            and interleaved.get("pipeline_img_per_sec", 0) > ips):
+        ips = interleaved["pipeline_img_per_sec"]
+        profile = "interleaved_device_decode"
     result = {
         "metric": "kodak768x512_encdec_images_per_sec",
         "value": round(ips, 4),
         "unit": "img/s",
         "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 4),
         "detail": {
+            "profile": profile,
             "batch": batch,
             "pipeline_batches": PIPE_BATCHES,
             "pipeline_ms_per_img": round(1000 * best_pipe / n_images, 1),
