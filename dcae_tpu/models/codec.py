@@ -1056,10 +1056,22 @@ class DCAECodec:
         queue itself is the pipeline, so encode of batch i+1 overlaps
         decode of batch i with no slice-level interleaving machinery.
         `inflight` bounds un-synced decodes (device-memory backpressure).
-        Returns per-batch {"x_hat", "ok", "shape"} in order."""
+
+        Escape-robust: a batch whose symbols fall outside the shipped
+        tables (untrained weights, extreme inputs) transparently falls
+        back to the classic bypass-coded codec for that batch — the loop
+        returns a result for EVERY batch, tagged by "profile".
+        Returns per-batch {"x_hat", "ok", "shape", "profile"} in order."""
         batches = list(batches)
+
+        def encode(x):
+            try:
+                return self.compress_device(x)
+            except rans.EscapeError:
+                return {"_classic": self.compress(x)}
+
         q, dead, t, err = self._start_encode_producer(
-            batches, self.compress_device, maxsize=max(1, inflight))
+            batches, encode, maxsize=max(1, inflight))
         results: List[dict] = []
         pending: List[dict] = []
 
@@ -1072,8 +1084,19 @@ class DCAECodec:
                 enc = q.get()
                 if enc is None:
                     break
-                dec = self.decompress_interleaved(enc)  # async dispatch
-                pending.append({**dec, "shape": enc["shape"]})
+                if "_classic" in enc:
+                    c = enc["_classic"]
+                    # classic decode is synchronous (host rANS in the
+                    # loop) — the pipeline loses overlap for this batch
+                    # only; bit-exactness is its construction guarantee
+                    d = self.decompress(c["strings"], c["shape"])
+                    pending.append({"x_hat": d["x_hat"], "ok": True,
+                                    "shape": c["shape"],
+                                    "profile": "classic"})
+                else:
+                    dec = self.decompress_interleaved(enc)  # async dispatch
+                    pending.append({**dec, "shape": enc["shape"],
+                                    "profile": "interleaved"})
                 if len(pending) > inflight:
                     drain(pending.pop(0))
             for d in pending:

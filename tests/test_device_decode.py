@@ -203,6 +203,30 @@ class TestCodecInterleavedProfile:
             np.testing.assert_array_equal(np.asarray(o["x_hat"]),
                                           np.asarray(seq["x_hat"]))
 
+    def test_pipeline_escape_falls_back_to_classic(self, codec, image,
+                                                   monkeypatch):
+        """A batch whose symbols escape the shipped tables must not kill
+        the serving loop: that batch rides the classic bypass-coded path
+        and every batch still returns a correct result in order."""
+        seq = codec.decompress_interleaved(codec.compress_interleaved(image))
+        orig = codec.compress_device
+        calls = {"n": 0}
+
+        def flaky(x, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:  # second batch escapes
+                raise rans.EscapeError("synthetic out-of-table symbol")
+            return orig(x, **kw)
+
+        monkeypatch.setattr(codec, "compress_device", flaky)
+        outs = codec.encdec_pipeline_interleaved([image] * 3, inflight=2)
+        assert [o["profile"] for o in outs] == [
+            "interleaved", "classic", "interleaved"]
+        for o in outs:
+            assert bool(o["ok"])
+            np.testing.assert_array_equal(np.asarray(o["x_hat"]),
+                                          np.asarray(seq["x_hat"]))
+
     def test_pipeline_producer_failure_propagates(self, codec, image,
                                                   monkeypatch):
         def boom(*a, **k):
