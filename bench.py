@@ -83,7 +83,9 @@ def main():
 
     # Never start benching into a dead tunnel window: wait (bounded) for
     # the chip to answer. DCAE_BENCH_WAIT_S=0 disables (e.g. CPU runs).
-    wait_s = float(os.environ.get("DCAE_BENCH_WAIT_S", "10800"))
+    # default 6 h: observed pool-side dead windows run >10 h, and an
+    # honest zero is recorded if the budget still runs out
+    wait_s = float(os.environ.get("DCAE_BENCH_WAIT_S", "21600"))
     if wait_s > 0 and not wait_for_device(wait_s):
         print(json.dumps({
             "metric": "kodak768x512_encdec_images_per_sec",
