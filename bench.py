@@ -114,11 +114,28 @@ def main():
         cfg = DCAEConfig(compute_dtype=dtype)
     codec = DCAECodec(cfg, seed=0)
     # DCAE_BENCH_CKPT: benchmark trained weights (realistic bpp — random
-    # weights code at ~4.4 bpp, ~8x a trained model's host-coder load)
+    # weights code at ~4.4 bpp, ~8x a trained model's host-coder load).
+    # When unset, auto-discover the 200-step full-size training artifact
+    # (tools/validate_training.py --full --save_path /tmp/dcae_bench_ckpt):
+    # trained weights are the deployment-realistic configuration AND the
+    # one where the interleaved device-coding profile is valid (random
+    # weights emit out-of-table symbols). Falls back to random weights
+    # (detail.weights records which) if no checkpoint exists.
+    AUTO_CKPT = "/tmp/dcae_bench_ckpt/checkpoint_latest.ckpt"
     ckpt = os.environ.get("DCAE_BENCH_CKPT")
+    if (ckpt is None and os.environ.get("DCAE_BENCH_CONFIG", "full") == "full"
+            and os.path.exists(AUTO_CKPT)):
+        ckpt = AUTO_CKPT
+    weights = "random"
     if ckpt:
         from dcae_tpu.utils.checkpoint import load_params_only
-        codec = DCAECodec(cfg, params=load_params_only(ckpt, codec.params))
+        try:
+            codec = DCAECodec(cfg,
+                              params=load_params_only(ckpt, codec.params))
+            weights = f"trained ({ckpt})"
+        except Exception as e:  # stale/corrupt file: bench must still run
+            print(f"# checkpoint load failed, using random weights: {e}",
+                  file=sys.stderr)
     codec.update(force=True)
 
     images = synthetic_kodak(batch)
@@ -295,6 +312,7 @@ def main():
             "rounds": r,
             "encode_mode": codec.encode_mode,
             "fast_encoder": fused_ok,
+            "weights": weights,
             "device": str(jax.devices()[0]),
         },
     }
