@@ -163,6 +163,10 @@ class DCAECodec:
         self._slot_src = None  # CodecTables they were built from
         self._enc_lut_dev = None  # device encode tables (interleaved)
         self._enc_lut_src = None
+        # interleaved-profile escape patches: max out-of-table symbols a
+        # slice may carry exactly (beyond -> EscapeError -> classic
+        # fallback). Static so patch tensors never churn program shapes.
+        self.patch_cap = int(os.environ.get("DCAE_PATCH_CAP", "128"))
         # staged encode by default (cross-program bit-agreement by
         # construction); self_check() upgrades to "split" (2 device calls)
         # or "fused" (1 device call) when the streams bit-match
@@ -249,23 +253,24 @@ class DCAECodec:
         self._decode_all = jax.jit(
             lambda p, z_hat, symbols: model.apply(
                 {"params": p}, z_hat, symbols, method=DCAE.decode_all))
-        def _dec_streams_fn(p, z_hat, words, n_words, states, lsym, lsf,
-                            st, unroll):
+        def _dec_streams_fn(p, z_hat, words, n_words, states, ppos, pval,
+                            lsym, lsf, st, unroll):
             return model.apply(
-                {"params": p}, z_hat, words, n_words, states, lsym, lsf,
-                st, unroll, method=DCAE.decode_device_streams)
+                {"params": p}, z_hat, words, n_words, states, ppos, pval,
+                lsym, lsf, st, unroll, method=DCAE.decode_device_streams)
 
         self._decode_streams = jax.jit(_dec_streams_fn,
-                                       static_argnums=(8,))
+                                       static_argnums=(10,))
 
         def _enc_streams_fn(p, x, st, enc_sf, offs, maxpos, stride, lanes,
-                            unroll):
+                            unroll, patch_cap):
             return model.apply(
                 {"params": p}, _norm(x), st, enc_sf, offs, maxpos, stride,
-                lanes, unroll, method=DCAE.encode_device_streams)
+                lanes, unroll, patch_cap,
+                method=DCAE.encode_device_streams)
 
         self._encode_streams = jax.jit(_enc_streams_fn,
-                                       static_argnums=(6, 7, 8))
+                                       static_argnums=(6, 7, 8, 9))
         self._synthesis = jax.jit(
             lambda p, y_hat: model.apply(
                 {"params": p}, y_hat, method=DCAE.decode_synthesis))
@@ -549,8 +554,13 @@ class DCAECodec:
         wire payload drops to the entropy bound (~8x smaller at trained
         rates). Output is interchangeable with compress_interleaved
         (bit-identical streams) and decodes with decompress_interleaved.
-        Raises rans.EscapeError on out-of-table symbols (fall back to the
-        classic format)."""
+        Out-of-table Gaussian-tail symbols (the ones the classic format
+        bypass-codes) ride a per-slice patch list — clamped in-stream,
+        exact value restored after device entropy decode (see
+        DCAE.encode_device_streams) — so x_hat stays bit-identical to the
+        classic path. Raises rans.EscapeError only when a patch list
+        overflows DCAE_PATCH_CAP (default 128/slice) or a symbol's row has
+        no in-range buckets at all (fall back to the classic format)."""
         x = self._as_input(x)
         enc_sf, offs, maxpos, stride = self._enc_luts()
         B, H, W = x.shape[0], x.shape[1], x.shape[2]
@@ -559,13 +569,22 @@ class DCAECodec:
         K = lanes or _auto_lanes(n_slice)
         unroll = int(os.environ.get("DCAE_IL_UNROLL", "1"))
         out = self._encode_streams(self.params, x, self._st(), enc_sf,
-                                   offs, maxpos, stride, K, unroll)
-        n_words, states, escape, z8, zover = jax.device_get(
+                                   offs, maxpos, stride, K, unroll,
+                                   self.patch_cap)
+        (n_words, states, escape, poverflow, ppos, pval, pcnt, z8,
+         zover) = jax.device_get(
             (out["n_words"], out["states"], out["escape"],
-             out["z_symbols8"], out["z_overflow8"]))
+             out["patch_overflow"], out["patch_pos"], out["patch_val"],
+             out["patch_count"], out["z_symbols8"], out["z_overflow8"]))
         if bool(escape):
             raise rans.EscapeError(
                 "symbol outside in-range CDF buckets (device encode)")
+        if bool(poverflow):
+            raise rans.EscapeError(
+                f"escape patch list overflow (> {self.patch_cap}/slice)")
+        patches = [(np.asarray(ppos[s][:int(pcnt[s])]),
+                    np.asarray(pval[s][:int(pcnt[s])]))
+                   for s in range(ppos.shape[0])]
         z_sym = (np.asarray(jax.device_get(out["z_symbols"]))
                  if bool(zover) else np.asarray(z8).astype(np.int32))
         z_strings = self._encode_z(z_sym)
@@ -582,6 +601,7 @@ class DCAECodec:
         return {
             "istreams": streams,
             "states": np.asarray(states),
+            "patches": patches,
             "z_strings": z_strings,
             "shape": (z_sym.shape[1], z_sym.shape[2]),
             "lanes": K,
@@ -592,12 +612,16 @@ class DCAECodec:
         per-slice interleaved rANS y streams + a classic z stream. The
         matching decode (decompress_interleaved) runs the WHOLE decode —
         entropy decode included — as one device program: no host round
-        trips. Raises rans.EscapeError when a symbol falls outside its CDF
-        row's in-range buckets (callers fall back to classic compress);
-        trained-model symbols essentially never escape.
+        trips. Out-of-table symbols are clamped into their row's in-range
+        buckets for the stream and shipped exactly in a per-slice patch
+        list (bit-identical clamping to compress_device; the decoder
+        restores them after entropy decode, so x_hat == classic). Raises
+        rans.EscapeError only on patch-list overflow or a row with no
+        in-range buckets (callers fall back to classic compress).
 
         Payload overhead vs classic: the K uint32 lane states per slice
-        (auto K keeps it ≲4% at trained rates)."""
+        (auto K keeps it ≲4% at trained rates) + 8 bytes per (rare)
+        escape patch."""
         t = self._require_tables()
         x = self._as_input(x)
         if self.encode_mode == "fused":
@@ -612,16 +636,30 @@ class DCAECodec:
         S = y_sym.shape[0]
         K = lanes or _auto_lanes(y_sym[0].size)
         g = t.gaussian
+        row_off = np.asarray(g.offset, np.int32)
+        row_mp = np.asarray(g.cdf_length, np.int32) - 2  # in-range buckets
 
         def encode_slice(s: int):
-            return rans.encode_interleaved(
-                y_sym[s].reshape(-1), y_idx[s].reshape(-1),
-                g.quantized_cdf, g.cdf_length, g.offset, K)
+            sym = y_sym[s].reshape(-1).astype(np.int32)
+            idx = y_idx[s].reshape(-1)
+            offs = row_off[idx]
+            mp = row_mp[idx]
+            csym = (np.clip(sym - offs, 0, np.maximum(mp - 1, 0))
+                    + offs)
+            pos = np.flatnonzero(csym != sym).astype(np.int32)
+            if pos.size > self.patch_cap:
+                raise rans.EscapeError(
+                    f"escape patch list overflow (> {self.patch_cap}"
+                    "/slice)")
+            stream, states = rans.encode_interleaved(
+                csym, idx, g.quantized_cdf, g.cdf_length, g.offset, K)
+            return stream, states, (pos, sym[pos])
 
-        pairs = list(self._pool.map(encode_slice, range(S)))
+        triples = list(self._pool.map(encode_slice, range(S)))
         return {
-            "istreams": [p[0] for p in pairs],
-            "states": np.stack([p[1] for p in pairs]),
+            "istreams": [p[0] for p in triples],
+            "states": np.stack([p[1] for p in triples]),
+            "patches": [p[2] for p in triples],
             "z_strings": z_strings,
             "shape": (z_sym.shape[1], z_sym.shape[2]),
             "lanes": K,
@@ -650,12 +688,23 @@ class DCAECodec:
         for s, b in enumerate(streams):
             w = np.frombuffer(b, np.uint16)
             words[s, :len(w)] = w
+        # escape patches: pad to the (static) patch_cap; padding rows get
+        # position n_flat — out of bounds for the slice's flat symbols, so
+        # the device-side scatter drops them (mode="drop")
+        n_flat = cap - 1
+        P = self.patch_cap
+        ppos = np.full((S, P), n_flat, np.int32)
+        pval = np.zeros((S, P), np.int32)
+        for s, (pos, val) in enumerate(enc.get("patches") or []):
+            if len(pos):
+                ppos[s, :len(pos)] = pos
+                pval[s, :len(val)] = val
         lsym, lsf = self._slot_luts()
         unroll = int(os.environ.get("DCAE_IL_UNROLL", "1"))
         x_hat, ok = self._decode_streams(
             self.params, jnp.asarray(z_hat), jnp.asarray(words),
-            jnp.asarray(n_words), jnp.asarray(states), lsym, lsf,
-            self._st(), unroll)
+            jnp.asarray(n_words), jnp.asarray(states), jnp.asarray(ppos),
+            jnp.asarray(pval), lsym, lsf, self._st(), unroll)
         return {"x_hat": x_hat, "ok": ok}
 
     def compress_latent(self, x) -> np.ndarray:

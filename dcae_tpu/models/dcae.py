@@ -398,7 +398,8 @@ class DCAE(nn.Module):
     def encode_device_streams(self, x: jax.Array, scale_table: jax.Array,
                               enc_sf: jax.Array, enc_offsets: jax.Array,
                               enc_maxpos: jax.Array, stride: int,
-                              lanes: int, unroll: int = 1):
+                              lanes: int, unroll: int = 1,
+                              patch_cap: int = 128):
         """Whole ENCODE in one device program, entropy coding included:
         analysis + channel-AR symbol/index computation (encode_arrays) and
         K-lane interleaved rANS encoding of every slice
@@ -406,29 +407,62 @@ class DCAE(nn.Module):
         to the C++ encoder). The host then fetches entropy-SIZED streams
         (~1-2 bits/symbol trained) instead of packed raw symbols — on a
         remote-accelerator link that fetch is the encode wire bound.
+
+        Out-of-table symbols (Gaussian-tail outliers the classic format
+        bypass-codes, ref CompressAI RansEncoder bypass) don't invalidate
+        the profile: the STREAM carries the symbol clamped into its row's
+        in-range buckets, and a per-slice patch list (flat position + true
+        value, <= patch_cap entries) rides alongside so the decoder
+        restores the exact symbol right after entropy decode — the y_hat
+        chain (and hence x_hat) stays bit-identical to the classic path.
+        patch_count > patch_cap sets patch_overflow (caller falls back to
+        classic); escape now only fires for rows with no in-range buckets
+        at all (mp <= 0 — unclampable, classic fallback).
+
         Returns per-slice emission-order word buffers + counts + lane
-        states + an escape flag (fall back to classic on True), plus the
-        narrow z hand-off (z stays host-coded: ~1% of symbol volume)."""
+        states + patch arrays + escape/overflow flags, plus the narrow z
+        hand-off (z stays host-coded: ~1% of symbol volume, with bypass)."""
         from dcae_tpu.entropy.device_decode import encode_interleaved_device
 
         out = dict(self.encode_arrays(x, scale_table))
         y_sym = out["y_symbols"]
         y_idx = out["y_indexes"].astype(jnp.int32)
         S = y_sym.shape[0]
+        n = y_sym[0].size  # per-slice flat symbol count (static)
         words, n_words, states = [], [], []
+        ppos, pval, pcnt = [], [], []
         escape = jnp.bool_(False)
+        overflow = jnp.bool_(False)
         for s in range(S):
+            sym = y_sym[s].reshape(-1)
+            idx = y_idx[s].reshape(-1)
+            offs = enc_offsets[idx]
+            mp = enc_maxpos[idx]
+            csym = jnp.clip(sym - offs, 0, jnp.maximum(mp - 1, 0)) + offs
+            esc_mask = csym != sym
+            pos = jnp.nonzero(esc_mask, size=patch_cap,
+                              fill_value=n)[0].astype(jnp.int32)
+            val = sym[jnp.minimum(pos, n - 1)]
+            cnt = esc_mask.sum()
+            overflow = overflow | (cnt > patch_cap)
             buf, nw, st, esc = encode_interleaved_device(
-                y_sym[s].reshape(-1), y_idx[s].reshape(-1),
-                enc_sf, enc_offsets, enc_maxpos, stride, lanes, unroll)
+                csym, idx, enc_sf, enc_offsets, enc_maxpos, stride,
+                lanes, unroll)
             words.append(buf)
             n_words.append(nw)
             states.append(st)
+            ppos.append(pos)
+            pval.append(val)
+            pcnt.append(cnt)
             escape = escape | esc
         res = {
             "words": jnp.stack(words),
             "n_words": jnp.stack(n_words),
             "states": jnp.stack(states),
+            "patch_pos": jnp.stack(ppos),
+            "patch_val": jnp.stack(pval),
+            "patch_count": jnp.stack(pcnt),
+            "patch_overflow": overflow,
             "escape": escape,
         }
         res.update(self.narrow_z(out["z_symbols"]))
@@ -436,6 +470,7 @@ class DCAE(nn.Module):
 
     def decode_device_streams(self, z_hat: jax.Array, words: jax.Array,
                               n_words: jax.Array, states: jax.Array,
+                              patch_pos: jax.Array, patch_val: jax.Array,
                               lut_sym: jax.Array, lut_sf: jax.Array,
                               scale_table: jax.Array, unroll: int = 1):
         """Whole decode in ONE device program from K-lane interleaved rANS
@@ -445,7 +480,13 @@ class DCAE(nn.Module):
         CPU-decode step (ref models/dcae.py:875-893).
 
         words: (S, Wmax) uint16 per-slice streams (padded); n_words: (S,)
-        true word counts; states: (S, K) uint32 decode-start lane states.
+        true word counts; states: (S, K) uint32 decode-start lane states;
+        patch_pos/patch_val: (S, P) int32 escape patches (see
+        encode_device_streams) — true symbol values scattered over the
+        clamped stream symbols right after entropy decode (padding rows
+        carry an out-of-range position and are dropped), which is what
+        keeps the y_hat chain bit-identical to the classic bypass-coded
+        path.
         Returns (x_hat, ok) — ok is the all-slices checksum (stream fully
         consumed + every lane back at 2^16), which catches both corruption
         and any encoder/decoder sigma->index divergence at decode time."""
@@ -467,6 +508,7 @@ class DCAE(nn.Module):
             sym, ok_i = decode_interleaved(
                 words[i], n_words[i], states[i], indexes.reshape(-1),
                 lut_sym, lut_sf, K, unroll)
+            sym = sym.at[patch_pos[i]].set(patch_val[i], mode="drop")
             y_hat_slice = self._apply_symbols(
                 i, support, mu,
                 sym.reshape(B, y_h, y_w, sd).astype(jnp.float32))

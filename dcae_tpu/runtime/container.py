@@ -77,7 +77,14 @@ def read_bin(path: str, p: int = 128, z_downsample: int = 64):
 # Layout:
 #   b"DTI1" | >H h | >H w | >H lanes | >B n_slices |
 #   per slice: >I len(stream) | stream | lanes*4 bytes of LE uint32 states
+#              | >H n_patches | n_patches * (LE uint32 pos | LE int32 val)
 #   | >I len(z_string) | z_string
+#
+# Patches are the (rare) Gaussian-tail symbols the stream carries clamped
+# into their CDF row's in-range buckets; the decoder scatters the exact
+# values back right after entropy decode (models/codec.py
+# compress_interleaved / DCAE.decode_device_streams) — the classic format
+# bypass-codes these instead (ref CompressAI RansEncoder bypass).
 
 _MAGIC_V2 = b"DTI1"
 
@@ -89,12 +96,18 @@ def pack_bin_interleaved(enc: dict, size: Tuple[int, int]) -> bytes:
     states = np.asarray(enc["states"], dtype="<u4")
     lanes = int(enc["lanes"])
     streams = enc["istreams"]
+    patches = enc.get("patches") or [
+        (np.empty(0, np.int32),) * 2 for _ in streams]
     out = _MAGIC_V2
     out += struct.pack(">HHHB", size[0], size[1], lanes, len(streams))
     for s, stream in enumerate(streams):
         out += struct.pack(">I", len(stream))
         out += stream
         out += states[s].tobytes()
+        pos, val = patches[s]
+        out += struct.pack(">H", len(pos))
+        out += np.asarray(pos, "<u4").tobytes()
+        out += np.asarray(val, "<i4").tobytes()
     z = enc["z_strings"][0]
     out += struct.pack(">I", len(z))
     out += z
@@ -112,6 +125,7 @@ def unpack_bin_interleaved(data: bytes, p: int = 128,
     off = 11
     streams: List[bytes] = []
     states = []
+    patches = []
     for _ in range(n_slices):
         (slen,) = struct.unpack(">I", data[off: off + 4])
         off += 4
@@ -119,13 +133,23 @@ def unpack_bin_interleaved(data: bytes, p: int = 128,
         off += slen
         states.append(np.frombuffer(data[off: off + 4 * lanes], "<u4"))
         off += 4 * lanes
+        (n_patch,) = struct.unpack(">H", data[off: off + 2])
+        off += 2
+        pos = np.frombuffer(data[off: off + 4 * n_patch], "<u4"
+                            ).astype(np.int32)
+        off += 4 * n_patch
+        val = np.frombuffer(data[off: off + 4 * n_patch], "<i4"
+                            ).astype(np.int32)
+        off += 4 * n_patch
+        patches.append((pos, val))
     (zlen,) = struct.unpack(">I", data[off: off + 4])
     off += 4
     z_string = data[off: off + zlen]
     padded, padding = calculate_padding(h, w, p)
     z_shape = (padded[0] // z_downsample, padded[1] // z_downsample)
     enc = {"istreams": streams, "states": np.stack(states),
-           "z_strings": [z_string], "shape": z_shape, "lanes": lanes}
+           "patches": patches, "z_strings": [z_string], "shape": z_shape,
+           "lanes": lanes}
     return enc, padding, (h, w)
 
 

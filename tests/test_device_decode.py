@@ -167,29 +167,103 @@ class TestCodecInterleavedProfile:
         dec = codec.decompress_interleaved(bad)
         assert not bool(dec["ok"])
 
-    def test_escape_raises_for_fallback(self, codec, image, monkeypatch):
-        """Out-of-range symbols (e.g. wild random-weight outliers) must
-        surface as EscapeError so callers fall back to classic compress."""
+    def test_escape_symbols_ride_patches(self, codec, image, monkeypatch):
+        """Out-of-table symbols (wild Gaussian-tail outliers the classic
+        format bypass-codes) must NOT disqualify the profile: the stream
+        carries them clamped and a patch list restores the exact value
+        after device entropy decode — x_hat stays bit-identical to the
+        classic path seeing the same spiked symbols.
+
+        The spike goes in the LAST slice: these post-hoc host-side spikes
+        never entered the device-computed y_hat context chain, so a spike
+        in an earlier slice would desynchronize the decoder's recomputed
+        indexes for the slices after it (in classic AND interleaved) — the
+        last slice's y_hat feeds only synthesis. Real encoder escapes are
+        in-chain by construction and need no such care."""
         orig = codec._fetch_encode_arrays
 
         def spiked(out):
             z_sym, y_sym, y_idx = orig(out)
             y_sym = np.array(y_sym)
-            y_sym.reshape(-1)[0] = 10_000
+            y_sym.reshape(y_sym.shape[0], -1)[-1, 0] = 10_000
             return z_sym, y_sym, y_idx
 
         monkeypatch.setattr(codec, "_fetch_encode_arrays", spiked)
+        # split mode reaches the classic coder through the same (spiked)
+        # _fetch_encode_arrays hand-off; staged mode fetches per slice and
+        # would never see the spike
+        classic_enc = codec.compress(image, mode="split")  # bypass-codes it
+        classic = codec.decompress(classic_enc["strings"],
+                                   classic_enc["shape"])
+        enc = codec.compress_interleaved(image)
+        assert sum(len(p[0]) for p in enc["patches"]) >= 1
+        assert 10_000 in np.concatenate([p[1] for p in enc["patches"]])
+        dec = codec.decompress_interleaved(enc)
+        assert bool(dec["ok"])
+        np.testing.assert_array_equal(np.asarray(dec["x_hat"]),
+                                      np.asarray(classic["x_hat"]))
+
+    def test_patch_overflow_raises_for_fallback(self, codec, image,
+                                                monkeypatch):
+        """More escapes than the patch budget must surface as EscapeError
+        so callers fall back to classic compress."""
+        orig = codec._fetch_encode_arrays
+
+        def spiked(out):
+            z_sym, y_sym, y_idx = orig(out)
+            y_sym = np.array(y_sym)
+            y_sym.reshape(y_sym.shape[0], -1)[-1, 0] = 10_000
+            return z_sym, y_sym, y_idx
+
+        monkeypatch.setattr(codec, "_fetch_encode_arrays", spiked)
+        monkeypatch.setattr(codec, "patch_cap", 0)
         with pytest.raises(rans.EscapeError):
             codec.compress_interleaved(image)
 
+    def test_device_encode_patches_and_clamping(self, codec, image,
+                                                monkeypatch):
+        """Force heavy clamping in the DEVICE encoder (narrowed in-range
+        window) and require the patched round trip to still reproduce the
+        undoctored classic reconstruction bitwise: clamping restricts
+        which bucket a symbol may occupy, never its coded (start, freq),
+        so the original decode tables read the stream fine and the patch
+        scatter restores every true symbol."""
+        import jax.numpy as jnp
+
+        classic_enc = codec.compress(image)
+        classic = codec.decompress(classic_enc["strings"],
+                                   classic_enc["shape"])
+        yd = codec.cfg.y_downsample
+        n = (image.shape[0] * (image.shape[1] // yd)
+             * (image.shape[2] // yd) * codec.cfg.slice_dim)
+        orig = codec._enc_luts
+
+        def narrowed():
+            enc_sf, offs, mp, stride = orig()
+            return enc_sf, offs, jnp.minimum(mp, 2), stride
+
+        monkeypatch.setattr(codec, "_enc_luts", narrowed)
+        monkeypatch.setattr(codec, "patch_cap", n)
+        enc = codec.compress_device(image)
+        assert sum(len(p[0]) for p in enc["patches"]) >= 1
+        dec = codec.decompress_interleaved(enc)
+        assert bool(dec["ok"])
+        np.testing.assert_array_equal(np.asarray(dec["x_hat"]),
+                                      np.asarray(classic["x_hat"]))
+
     def test_compress_device_matches_host_encode(self, codec, image):
         """The in-program device entropy encoder must emit bit-identical
-        streams to the host (C++) encoder, interchangeably decodable."""
+        streams (and patch lists) to the host (C++) encoder,
+        interchangeably decodable."""
         a = codec.compress_interleaved(image)
         b = codec.compress_device(image)
         assert a["istreams"] == b["istreams"]
         np.testing.assert_array_equal(a["states"], b["states"])
         assert a["z_strings"] == b["z_strings"]
+        assert len(a["patches"]) == len(b["patches"])
+        for (pa, va), (pb, vb) in zip(a["patches"], b["patches"]):
+            np.testing.assert_array_equal(pa, pb)
+            np.testing.assert_array_equal(va, vb)
         dec = codec.decompress_interleaved(b)
         assert bool(dec["ok"])
 

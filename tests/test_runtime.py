@@ -78,8 +78,10 @@ def test_interleaved_container_roundtrip():
     streams = [rng.bytes(2 * int(n)) for n in rng.integers(5, 60, 5)]
     states = rng.integers(1 << 16, 1 << 32, (5, 64), dtype=np.uint64
                           ).astype(np.uint32)
+    patches = [(np.empty(0, np.int32), np.empty(0, np.int32))] * 4 + [
+        (np.array([7, 191], np.int32), np.array([-300, 10_000], np.int32))]
     enc = {"istreams": streams, "states": states, "lanes": 64,
-           "z_strings": [rng.bytes(33)], "shape": (2, 3)}
+           "patches": patches, "z_strings": [rng.bytes(33)], "shape": (2, 3)}
     data = container.pack_bin_interleaved(enc, (80, 100))
     assert container.is_interleaved_bin(data)
     assert not container.is_interleaved_bin(b"\x00\x01classic")
@@ -91,3 +93,13 @@ def test_interleaved_container_roundtrip():
     assert dec["z_strings"] == [enc["z_strings"][0]]
     np.testing.assert_array_equal(dec["states"], states)
     assert dec["shape"] == (128 // 64, 128 // 64)
+    for (pa, va), (pb, vb) in zip(dec["patches"], patches):
+        np.testing.assert_array_equal(pa, pb)
+        np.testing.assert_array_equal(va, vb)
+    # an enc without a patches key (pre-patch callers) packs as zero
+    # patches and unpacks to empty per-slice lists
+    enc2 = dict(enc)
+    del enc2["patches"]
+    dec2, _, _ = container.unpack_bin_interleaved(
+        container.pack_bin_interleaved(enc2, (80, 100)))
+    assert all(len(p) == 0 and len(v) == 0 for p, v in dec2["patches"])
