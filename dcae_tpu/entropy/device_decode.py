@@ -234,3 +234,57 @@ def encode_interleaved_device(symbols: jax.Array, indexes: jax.Array,
     x, ptr, buf, esc = jax.lax.fori_loop(
         0, Tp // U, body, (x0, jnp.int32(0), buf0, jnp.bool_(False)))
     return buf.astype(jnp.uint16), ptr, x, esc
+
+
+def encode_slices_with_patches(y_syms: jax.Array, idxs: jax.Array,
+                               enc_sf: jax.Array, offsets: jax.Array,
+                               maxpos: jax.Array, stride: int, lanes: int,
+                               unroll: int, patch_cap: int) -> dict:
+    """Per-slice interleaved rANS encode with the escape-patch side
+    channel (shared by DCAE.encode_device_streams and the certified
+    re-encode in models/codec.py).
+
+    y_syms: (S, ...) int32 true symbols; idxs: (S, ...) int coding-index
+    rows (any int dtype; flattened per slice). Each symbol is clamped
+    into its row's in-range buckets for the stream; the true value of a
+    clamped position rides the (pos, val) patch list, <= patch_cap
+    entries per slice (patch_overflow set beyond — caller falls back to
+    the classic format). escape fires only for rows with no in-range
+    buckets at all."""
+    S = y_syms.shape[0]
+    n = y_syms[0].size
+    words, n_words, states = [], [], []
+    ppos, pval, pcnt = [], [], []
+    escape = jnp.bool_(False)
+    overflow = jnp.bool_(False)
+    for s in range(S):
+        sym = y_syms[s].reshape(-1).astype(jnp.int32)
+        idx = idxs[s].reshape(-1).astype(jnp.int32)
+        offs = offsets[idx]
+        mp = maxpos[idx]
+        csym = jnp.clip(sym - offs, 0, jnp.maximum(mp - 1, 0)) + offs
+        esc_mask = csym != sym
+        pos = jnp.nonzero(esc_mask, size=patch_cap,
+                          fill_value=n)[0].astype(jnp.int32)
+        val = sym[jnp.minimum(pos, n - 1)]
+        cnt = esc_mask.sum()
+        overflow = overflow | (cnt > patch_cap)
+        buf, nw, st, esc = encode_interleaved_device(
+            csym, idx, enc_sf, offsets, maxpos, stride, lanes, unroll)
+        words.append(buf)
+        n_words.append(nw)
+        states.append(st)
+        ppos.append(pos)
+        pval.append(val)
+        pcnt.append(cnt)
+        escape = escape | esc
+    return {
+        "words": jnp.stack(words),
+        "n_words": jnp.stack(n_words),
+        "states": jnp.stack(states),
+        "patch_pos": jnp.stack(ppos),
+        "patch_val": jnp.stack(pval),
+        "patch_count": jnp.stack(pcnt),
+        "patch_overflow": overflow,
+        "escape": escape,
+    }

@@ -254,13 +254,27 @@ class DCAECodec:
             lambda p, z_hat, symbols: model.apply(
                 {"params": p}, z_hat, symbols, method=DCAE.decode_all))
         def _dec_streams_fn(p, z_hat, words, n_words, states, ppos, pval,
-                            lsym, lsf, st, unroll):
+                            override, true_syms, lsym, lsf, st, unroll):
             return model.apply(
                 {"params": p}, z_hat, words, n_words, states, ppos, pval,
-                lsym, lsf, st, unroll, method=DCAE.decode_device_streams)
+                override, true_syms, lsym, lsf, st, unroll,
+                method=DCAE.decode_device_streams)
 
+        # ONE jit for decoder AND certified-encode replay: executable
+        # identity is what makes the replayed index chain the decoder's
+        # (override is a traced input, never a static arg)
         self._decode_streams = jax.jit(_dec_streams_fn,
-                                       static_argnums=(10,))
+                                       static_argnums=(12,))
+
+        def _reencode_fn(y_syms, rawidx, enc_sf, offs, maxpos, stride,
+                         lanes, unroll, patch_cap):
+            from dcae_tpu.entropy.device_decode import (
+                encode_slices_with_patches)
+            return encode_slices_with_patches(
+                y_syms, rawidx, enc_sf, offs, maxpos, stride, lanes,
+                unroll, patch_cap)
+
+        self._reencode = jax.jit(_reencode_fn, static_argnums=(5, 6, 7, 8))
 
         def _enc_streams_fn(p, x, st, enc_sf, offs, maxpos, stride, lanes,
                             unroll, patch_cap):
@@ -552,15 +566,28 @@ class DCAECodec:
         device program (DCAE.encode_device_streams); the host fetches
         entropy-sized streams instead of raw packed symbols — the encode
         wire payload drops to the entropy bound (~8x smaller at trained
-        rates). Output is interchangeable with compress_interleaved
-        (bit-identical streams) and decodes with decompress_interleaved.
+        rates). Decodes with decompress_interleaved.
         Out-of-table Gaussian-tail symbols (the ones the classic format
         bypass-codes) ride a per-slice patch list — clamped in-stream,
         exact value restored after device entropy decode (see
-        DCAE.encode_device_streams) — so x_hat stays bit-identical to the
-        classic path. Raises rans.EscapeError only when a patch list
-        overflows DCAE_PATCH_CAP (default 128/slice) or a symbol's row has
-        no in-range buckets at all (fall back to the classic format)."""
+        DCAE.encode_device_streams). Raises rans.EscapeError only when a
+        patch list overflows DCAE_PATCH_CAP (default 128/slice) or a
+        symbol's row has no in-range buckets at all (fall back to the
+        classic format).
+
+        CERTIFIED ENCODE (default; DCAE_IL_CERTIFY=0 reverts to the
+        encoder's own index chain, which bit-matches compress_interleaved):
+        sigma->index chains are not bitwise stable across different XLA
+        programs — trained models park many sigmas exactly on scale-table
+        boundaries, where one-ulp cross-program jitter flips searchsorted
+        and desynchronizes the decoder's rANS (measured: 54 flipped
+        indexes in slice 2 cascade into a dead stream; docs/PERF.md). The
+        fix is structural: the encoder teacher-forces THE DECODER'S OWN
+        compiled program (same executable => bitwise-identical index
+        chain) with the true symbols, then encodes the streams under the
+        indexes that program returns. The real decode then reproduces them
+        by induction, and `ok` still detects residual divergence (e.g. a
+        decoder built with different flags) rather than corrupting."""
         x = self._as_input(x)
         enc_sf, offs, maxpos, stride = self._enc_luts()
         B, H, W = x.shape[0], x.shape[1], x.shape[2]
@@ -571,41 +598,83 @@ class DCAECodec:
         out = self._encode_streams(self.params, x, self._st(), enc_sf,
                                    offs, maxpos, stride, K, unroll,
                                    self.patch_cap)
-        (n_words, states, escape, poverflow, ppos, pval, pcnt, z8,
-         zover) = jax.device_get(
-            (out["n_words"], out["states"], out["escape"],
-             out["patch_overflow"], out["patch_pos"], out["patch_val"],
-             out["patch_count"], out["z_symbols8"], out["z_overflow8"]))
+        n_words, escape, z8, zover = jax.device_get(
+            (out["n_words"], out["escape"], out["z_symbols8"],
+             out["z_overflow8"]))
         if bool(escape):
             raise rans.EscapeError(
                 "symbol outside in-range CDF buckets (device encode)")
+        z_sym = (np.asarray(jax.device_get(out["z_symbols"]))
+                 if bool(zover) else np.asarray(z8).astype(np.int32))
+        z_strings = self._encode_z(z_sym)
+        cap = int(out["words"].shape[1])
+        # cap-relative stream-length buckets (cap/16, cap/8, ...) so rate
+        # jitter between batches cannot churn slice-program recompiles
+        bucket = _len_bucket(int(np.asarray(n_words).max()), cap)
+        if os.environ.get("DCAE_IL_CERTIFY", "1") != "0":
+            res, bucket = self._certify_encode(out, bucket, cap, K, unroll,
+                                               enc_sf, offs, maxpos, stride)
+        else:
+            res = out
+        (n_words, states, poverflow, ppos, pval, pcnt) = jax.device_get(
+            (res["n_words"], res["states"], res["patch_overflow"],
+             res["patch_pos"], res["patch_val"], res["patch_count"]))
         if bool(poverflow):
             raise rans.EscapeError(
                 f"escape patch list overflow (> {self.patch_cap}/slice)")
         patches = [(np.asarray(ppos[s][:int(pcnt[s])]),
                     np.asarray(pval[s][:int(pcnt[s])]))
                    for s in range(ppos.shape[0])]
-        z_sym = (np.asarray(jax.device_get(out["z_symbols"]))
-                 if bool(zover) else np.asarray(z8).astype(np.int32))
-        z_strings = self._encode_z(z_sym)
         n_words = np.asarray(n_words)
-        # second, bucketed fetch of just the emitted words (the buffers
-        # are n_symbols long; the emitted prefix is the entropy-sized
-        # part). Buckets are cap-relative (cap/16, cap/8, ...) so rate
-        # jitter between batches cannot churn slice-program recompiles.
-        cap = int(out["words"].shape[1])
-        bucket = _len_bucket(int(n_words.max()), cap)
-        words = np.asarray(jax.device_get(out["words"][:, :bucket]))
+        # bucketed fetch of just the emitted words (the buffers are
+        # n_symbols long; the emitted prefix is the entropy-sized part)
+        bucket = max(bucket, _len_bucket(int(n_words.max()), cap))
+        words = np.asarray(jax.device_get(res["words"][:, :bucket]))
         streams = [words[s, :int(n_words[s])][::-1].tobytes()
                    for s in range(words.shape[0])]
         return {
             "istreams": streams,
             "states": np.asarray(states),
             "patches": patches,
+            # the certified word bucket: the decoder must build its padded
+            # words array at THIS width so it runs the same executable the
+            # certification replayed (the bucket is part of program shape)
+            "bucket": bucket,
             "z_strings": z_strings,
             "shape": (z_sym.shape[1], z_sym.shape[2]),
             "lanes": K,
         }
+
+    def _certify_encode(self, out: dict, bucket: int, cap: int, K: int,
+                        unroll: int, enc_sf, offs, maxpos, stride: int):
+        """Teacher-force the decoder's compiled program to learn the index
+        chain IT will compute, then re-encode the streams under those
+        indexes (see compress_device). Iterates the cap-relative word
+        bucket to a fixed point so the replayed executable is the very one
+        the decoder will run (the bucket is part of the program shape)."""
+        lsym, lsf = self._slot_luts()
+        S = int(out["words"].shape[0])
+        P = self.patch_cap
+        n_flat = cap - 1
+        dummy_ppos = jnp.full((S, P), n_flat, jnp.int32)
+        dummy_pval = jnp.zeros((S, P), jnp.int32)
+        dummy_nw = jnp.zeros((S,), jnp.int32)
+        dummy_states = jnp.full((S, K), 1 << 16, jnp.uint32)
+        for _ in range(4):
+            dwords = jnp.zeros((S, bucket), jnp.uint16)
+            _, _, rawidx = self._decode_streams(
+                self.params, out["z_hat"], dwords, dummy_nw, dummy_states,
+                dummy_ppos, dummy_pval, np.bool_(True), out["y_symbols"],
+                lsym, lsf, self._st(), unroll)
+            res = self._reencode(out["y_symbols"], rawidx, enc_sf, offs,
+                                 maxpos, stride, K, unroll, P)
+            b2 = _len_bucket(
+                int(np.asarray(jax.device_get(res["n_words"])).max()), cap)
+            if b2 <= bucket:
+                return res, bucket
+            bucket = b2
+        raise rans.EscapeError(
+            "certified encode: word bucket did not reach a fixed point")
 
     def compress_interleaved(self, x, lanes: Optional[int] = None) -> dict:
         """Encode into the K-lane interleaved (device-decodable) profile:
@@ -683,7 +752,12 @@ class DCAECodec:
         r = self.cfg.hyper_ratio
         cap = (z_hat.shape[0] * (zh * r) * (zw * r) * self.cfg.slice_dim
                + 1)
-        w_max = _len_bucket(int(n_words.max()), cap)
+        # honor the encoder's certified bucket when it is sane (program-
+        # shape identity with the certification replay, compress_device);
+        # otherwise derive it from the stream lengths as before
+        w_max = int(enc.get("bucket") or 0)
+        if w_max < int(n_words.max()) or w_max > cap:
+            w_max = _len_bucket(int(n_words.max()), cap)
         words = np.zeros((S, w_max), np.uint16)
         for s, b in enumerate(streams):
             w = np.frombuffer(b, np.uint16)
@@ -701,10 +775,14 @@ class DCAECodec:
                 pval[s, :len(val)] = val
         lsym, lsf = self._slot_luts()
         unroll = int(os.environ.get("DCAE_IL_UNROLL", "1"))
-        x_hat, ok = self._decode_streams(
+        B = z_hat.shape[0]
+        true0 = jnp.zeros((S, B, zh * r, zw * r, self.cfg.slice_dim),
+                          jnp.int32)
+        x_hat, ok, _idx = self._decode_streams(
             self.params, jnp.asarray(z_hat), jnp.asarray(words),
             jnp.asarray(n_words), jnp.asarray(states), jnp.asarray(ppos),
-            jnp.asarray(pval), lsym, lsf, self._st(), unroll)
+            jnp.asarray(pval), np.bool_(False), true0, lsym, lsf,
+            self._st(), unroll)
         return {"x_hat": x_hat, "ok": ok}
 
     def compress_latent(self, x) -> np.ndarray:

@@ -421,56 +421,28 @@ class DCAE(nn.Module):
 
         Returns per-slice emission-order word buffers + counts + lane
         states + patch arrays + escape/overflow flags, plus the narrow z
-        hand-off (z stays host-coded: ~1% of symbol volume, with bypass)."""
-        from dcae_tpu.entropy.device_decode import encode_interleaved_device
+        hand-off (z stays host-coded: ~1% of symbol volume, with bypass).
+        The device-resident extras y_symbols (true symbols) and z_hat feed
+        the certified-encode replay (models/codec.py compress_device) —
+        they are never fetched to the host."""
+        from dcae_tpu.entropy.device_decode import encode_slices_with_patches
 
         out = dict(self.encode_arrays(x, scale_table))
         y_sym = out["y_symbols"]
         y_idx = out["y_indexes"].astype(jnp.int32)
-        S = y_sym.shape[0]
-        n = y_sym[0].size  # per-slice flat symbol count (static)
-        words, n_words, states = [], [], []
-        ppos, pval, pcnt = [], [], []
-        escape = jnp.bool_(False)
-        overflow = jnp.bool_(False)
-        for s in range(S):
-            sym = y_sym[s].reshape(-1)
-            idx = y_idx[s].reshape(-1)
-            offs = enc_offsets[idx]
-            mp = enc_maxpos[idx]
-            csym = jnp.clip(sym - offs, 0, jnp.maximum(mp - 1, 0)) + offs
-            esc_mask = csym != sym
-            pos = jnp.nonzero(esc_mask, size=patch_cap,
-                              fill_value=n)[0].astype(jnp.int32)
-            val = sym[jnp.minimum(pos, n - 1)]
-            cnt = esc_mask.sum()
-            overflow = overflow | (cnt > patch_cap)
-            buf, nw, st, esc = encode_interleaved_device(
-                csym, idx, enc_sf, enc_offsets, enc_maxpos, stride,
-                lanes, unroll)
-            words.append(buf)
-            n_words.append(nw)
-            states.append(st)
-            ppos.append(pos)
-            pval.append(val)
-            pcnt.append(cnt)
-            escape = escape | esc
-        res = {
-            "words": jnp.stack(words),
-            "n_words": jnp.stack(n_words),
-            "states": jnp.stack(states),
-            "patch_pos": jnp.stack(ppos),
-            "patch_val": jnp.stack(pval),
-            "patch_count": jnp.stack(pcnt),
-            "patch_overflow": overflow,
-            "escape": escape,
-        }
+        res = encode_slices_with_patches(
+            y_sym, y_idx, enc_sf, enc_offsets, enc_maxpos, stride,
+            lanes, unroll, patch_cap)
+        res["y_symbols"] = y_sym
+        medians = self.eb_medians().reshape(1, 1, 1, -1)
+        res["z_hat"] = out["z_symbols"].astype(jnp.float32) + medians
         res.update(self.narrow_z(out["z_symbols"]))
         return res
 
     def decode_device_streams(self, z_hat: jax.Array, words: jax.Array,
                               n_words: jax.Array, states: jax.Array,
                               patch_pos: jax.Array, patch_val: jax.Array,
+                              override: jax.Array, true_syms: jax.Array,
                               lut_sym: jax.Array, lut_sf: jax.Array,
                               scale_table: jax.Array, unroll: int = 1):
         """Whole decode in ONE device program from K-lane interleaved rANS
@@ -485,11 +457,26 @@ class DCAE(nn.Module):
         encode_device_streams) — true symbol values scattered over the
         clamped stream symbols right after entropy decode (padding rows
         carry an out-of-range position and are dropped), which is what
-        keeps the y_hat chain bit-identical to the classic bypass-coded
-        path.
-        Returns (x_hat, ok) — ok is the all-slices checksum (stream fully
-        consumed + every lane back at 2^16), which catches both corruption
-        and any encoder/decoder sigma->index divergence at decode time."""
+        keeps the y_hat chain equal to the classic bypass-coded path.
+
+        override/true_syms ((), bool / (S, B, yh, yw, sd) int32) exist for
+        the ENCODER: sigma->index chains are not bitwise stable across
+        *different* XLA programs (boundary-sitting trained sigmas flip
+        searchsorted buckets), so the encoder teacher-forces THIS VERY
+        PROGRAM (override=True: the y_hat chain reads true_syms instead of
+        the entropy-decoded symbols) and encodes its streams under the
+        returned indexes — the certified-encode handshake. A deterministic
+        executable makes the real decode (override=False) reproduce those
+        indexes bitwise as long as the decoded symbols equal true_syms,
+        which holds slice-by-slice by induction once the encoder uses the
+        returned indexes. Decoders pass override=False and zeros.
+
+        Returns (x_hat, ok, idxs) — ok is the all-slices checksum (stream
+        fully consumed + every lane back at 2^16), which catches stream
+        corruption and any residual index divergence (e.g. a decoder
+        compiled with different flags) at decode time; idxs (S, n) int8 is
+        the per-slice index chain (consumed by the certified encoder,
+        ignored and never fetched by decoders)."""
         from dcae_tpu.entropy.device_decode import decode_interleaved
 
         latent_scales, latent_means = self.hyper_synthesis(z_hat)
@@ -499,22 +486,26 @@ class DCAE(nn.Module):
         K = states.shape[-1]
         y_hat = jnp.zeros((B, y_h, y_w, 0), jnp.float32)
         ok = jnp.bool_(True)
+        idx_list = []
         for i in range(self.cfg.num_slices):
             prev = ([] if i == 0 else list(jnp.split(y_hat, i, axis=-1)))
             support, mu, sigma = self._slice_context(
                 i, latent_scales, latent_means, prev, y_h, y_w)
             indexes = gaussian.build_indexes(
                 sigma, scale_table, self.cfg.scales_min).astype(jnp.int32)
+            idx_list.append(indexes.astype(jnp.int8))
             sym, ok_i = decode_interleaved(
                 words[i], n_words[i], states[i], indexes.reshape(-1),
                 lut_sym, lut_sf, K, unroll)
             sym = sym.at[patch_pos[i]].set(patch_val[i], mode="drop")
+            sym = jnp.where(override, true_syms[i].reshape(-1), sym)
             y_hat_slice = self._apply_symbols(
                 i, support, mu,
                 sym.reshape(B, y_h, y_w, sd).astype(jnp.float32))
             y_hat = jnp.concatenate([y_hat, y_hat_slice], axis=-1)
             ok = ok & ok_i
-        return jnp.clip(self.g_s(y_hat).astype(jnp.float32), 0.0, 1.0), ok
+        return (jnp.clip(self.g_s(y_hat).astype(jnp.float32), 0.0, 1.0),
+                ok, jnp.stack(idx_list))
 
     def decode_all(self, z_hat: jax.Array, symbols: jax.Array) -> jax.Array:
         """Whole-decode-in-one-program: all slices' symbols are already

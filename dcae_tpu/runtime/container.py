@@ -75,10 +75,15 @@ def read_bin(path: str, p: int = 128, z_downsample: int = 64):
 # opt-in profile for decode-on-accelerator deployments.
 #
 # Layout:
-#   b"DTI1" | >H h | >H w | >H lanes | >B n_slices |
+#   b"DTI1" | >H h | >H w | >H lanes | >B n_slices | >I bucket |
 #   per slice: >I len(stream) | stream | lanes*4 bytes of LE uint32 states
 #              | >H n_patches | n_patches * (LE uint32 pos | LE int32 val)
 #   | >I len(z_string) | z_string
+#
+# bucket is the certified word-buffer width of compress_device (0 = none,
+# host-encoded stream): the decoder pads its per-slice word arrays to this
+# width so it runs the exact executable the certification replayed
+# (models/codec.py compress_device/_certify_encode).
 #
 # Patches are the (rare) Gaussian-tail symbols the stream carries clamped
 # into their CDF row's in-range buckets; the decoder scatters the exact
@@ -100,6 +105,7 @@ def pack_bin_interleaved(enc: dict, size: Tuple[int, int]) -> bytes:
         (np.empty(0, np.int32),) * 2 for _ in streams]
     out = _MAGIC_V2
     out += struct.pack(">HHHB", size[0], size[1], lanes, len(streams))
+    out += struct.pack(">I", int(enc.get("bucket") or 0))
     for s, stream in enumerate(streams):
         out += struct.pack(">I", len(stream))
         out += stream
@@ -122,7 +128,8 @@ def unpack_bin_interleaved(data: bytes, p: int = 128,
     if data[:4] != _MAGIC_V2:
         raise ValueError("not a DTI1 interleaved container")
     h, w, lanes, n_slices = struct.unpack(">HHHB", data[4:11])
-    off = 11
+    (bucket,) = struct.unpack(">I", data[11:15])
+    off = 15
     streams: List[bytes] = []
     states = []
     patches = []
@@ -149,7 +156,7 @@ def unpack_bin_interleaved(data: bytes, p: int = 128,
     z_shape = (padded[0] // z_downsample, padded[1] // z_downsample)
     enc = {"istreams": streams, "states": np.stack(states),
            "patches": patches, "z_strings": [z_string], "shape": z_shape,
-           "lanes": lanes}
+           "lanes": lanes, "bucket": bucket}
     return enc, padding, (h, w)
 
 

@@ -81,7 +81,8 @@ def test_interleaved_container_roundtrip():
     patches = [(np.empty(0, np.int32), np.empty(0, np.int32))] * 4 + [
         (np.array([7, 191], np.int32), np.array([-300, 10_000], np.int32))]
     enc = {"istreams": streams, "states": states, "lanes": 64,
-           "patches": patches, "z_strings": [rng.bytes(33)], "shape": (2, 3)}
+           "patches": patches, "bucket": 4096,
+           "z_strings": [rng.bytes(33)], "shape": (2, 3)}
     data = container.pack_bin_interleaved(enc, (80, 100))
     assert container.is_interleaved_bin(data)
     assert not container.is_interleaved_bin(b"\x00\x01classic")
@@ -93,13 +94,16 @@ def test_interleaved_container_roundtrip():
     assert dec["z_strings"] == [enc["z_strings"][0]]
     np.testing.assert_array_equal(dec["states"], states)
     assert dec["shape"] == (128 // 64, 128 // 64)
+    assert dec["bucket"] == 4096
     for (pa, va), (pb, vb) in zip(dec["patches"], patches):
         np.testing.assert_array_equal(pa, pb)
         np.testing.assert_array_equal(va, vb)
-    # an enc without a patches key (pre-patch callers) packs as zero
-    # patches and unpacks to empty per-slice lists
+    # an enc without patches/bucket keys (host-encoded streams) packs as
+    # zero patches / bucket 0 and unpacks to the same
     enc2 = dict(enc)
     del enc2["patches"]
+    del enc2["bucket"]
     dec2, _, _ = container.unpack_bin_interleaved(
         container.pack_bin_interleaved(enc2, (80, 100)))
     assert all(len(p) == 0 and len(v) == 0 for p, v in dec2["patches"])
+    assert dec2["bucket"] == 0
