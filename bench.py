@@ -264,6 +264,28 @@ def main():
     # + synthesis is ONE device program (DCAE.decode_all) — 1 dispatch
     # round trip instead of 6. Trades stream size (raw 6-bit indexes ride
     # along) for latency; reported as a detail, not the headline.
+    # single-image latency in the interleaved device-coding profile: the
+    # whole codec is a handful of device programs with ONE host sync per
+    # direction, so this is the latency profile for remote-accelerator
+    # serving (classic pays ~6 decode round trips). Best-effort detail.
+    if interleaved.get("ok"):
+        try:
+            e1 = codec.compress_device(images[:1])
+            d1 = codec.decompress_interleaved(e1)  # warm-up/compile
+            jax.block_until_ready(d1["x_hat"])
+            t2 = time.perf_counter()
+            e1 = codec.compress_device(images[:1])
+            t3 = time.perf_counter()
+            d1 = codec.decompress_interleaved(e1)
+            jax.block_until_ready(d1["x_hat"])
+            interleaved["single_image_ms"] = round(
+                1000 * (time.perf_counter() - t2), 1)
+            interleaved["single_image_encode_ms"] = round(
+                1000 * (t3 - t2), 1)
+        except Exception as e:
+            print(f"# interleaved single-image metric skipped: {e}",
+                  file=sys.stderr)
+
     single_dec_1trip_ms = -1.0  # best-effort: never risk the headline
     try:
         enc_i = codec.compress_with_indexes(images[:1])

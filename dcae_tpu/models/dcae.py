@@ -442,14 +442,17 @@ class DCAE(nn.Module):
     def decode_device_streams(self, z_hat: jax.Array, words: jax.Array,
                               n_words: jax.Array, states: jax.Array,
                               patch_pos: jax.Array, patch_val: jax.Array,
-                              override: jax.Array, true_syms: jax.Array,
+                              override: jax.Array, true_y: jax.Array,
                               lut_sym: jax.Array, lut_sf: jax.Array,
                               scale_table: jax.Array, unroll: int = 1):
-        """Whole decode in ONE device program from K-lane interleaved rANS
-        streams (entropy/device_decode.py): the entropy decode itself runs
-        on the accelerator, so the channel-AR chain needs no host round
-        trips at all — the TPU-native redesign of the reference's
-        CPU-decode step (ref models/dcae.py:875-893).
+        """Slice contexts + ON-DEVICE entropy decode of the K-lane
+        interleaved rANS streams (entropy/device_decode.py) in one device
+        program: the channel-AR chain needs no host round trips at all —
+        the TPU-native redesign of the reference's CPU-decode step (ref
+        models/dcae.py:875-893). Synthesis is deliberately NOT in this
+        program (decode_synthesis is dispatched right after, still with no
+        host sync): the certified ENCODE replays this very program, and
+        keeping g_s out of it means the encoder never pays for synthesis.
 
         words: (S, Wmax) uint16 per-slice streams (padded); n_words: (S,)
         true word counts; states: (S, K) uint32 decode-start lane states;
@@ -459,24 +462,29 @@ class DCAE(nn.Module):
         carry an out-of-range position and are dropped), which is what
         keeps the y_hat chain equal to the classic bypass-coded path.
 
-        override/true_syms ((), bool / (S, B, yh, yw, sd) int32) exist for
-        the ENCODER: sigma->index chains are not bitwise stable across
+        override/true_y ((), bool / (B, yh, yw, M) f32) exist for the
+        ENCODER: sigma->index chains are not bitwise stable across
         *different* XLA programs (boundary-sitting trained sigmas flip
         searchsorted buckets), so the encoder teacher-forces THIS VERY
-        PROGRAM (override=True: the y_hat chain reads true_syms instead of
-        the entropy-decoded symbols) and encodes its streams under the
-        returned indexes — the certified-encode handshake. A deterministic
-        executable makes the real decode (override=False) reproduce those
-        indexes bitwise as long as the decoded symbols equal true_syms,
-        which holds slice-by-slice by induction once the encoder uses the
-        returned indexes. Decoders pass override=False and zeros.
+        PROGRAM with the raw latent y (override=True: each slice's symbols
+        are computed in-program as round(y_i - mu_i), and the y_hat chain
+        reads them instead of the entropy-decoded symbols), then encodes
+        the streams under the (indexes, symbols) this program returns —
+        the certified-encode handshake, now also the encoder's ONLY
+        channel-AR pass. A deterministic executable makes the real decode
+        (override=False) reproduce those indexes bitwise as long as the
+        decoded symbols equal the returned ones, which holds
+        slice-by-slice by induction once the encoder codes exactly those
+        symbols under exactly those indexes. Decoders pass override=False
+        and zeros for true_y.
 
-        Returns (x_hat, ok, idxs) — ok is the all-slices checksum (stream
-        fully consumed + every lane back at 2^16), which catches stream
-        corruption and any residual index divergence (e.g. a decoder
-        compiled with different flags) at decode time; idxs (S, n) int8 is
-        the per-slice index chain (consumed by the certified encoder,
-        ignored and never fetched by decoders)."""
+        Returns (y_hat, ok, idxs, syms) — ok is the all-slices checksum
+        (stream fully consumed + every lane back at 2^16), which catches
+        stream corruption and any residual index divergence (e.g. a
+        decoder compiled with different flags) at decode time; idxs
+        (S, B, yh, yw, sd) int8 and syms (same, int32) are the per-slice
+        index/symbol chains (consumed by the certified encoder, ignored
+        and never fetched by decoders)."""
         from dcae_tpu.entropy.device_decode import decode_interleaved
 
         latent_scales, latent_means = self.hyper_synthesis(z_hat)
@@ -484,9 +492,11 @@ class DCAE(nn.Module):
         y_h, y_w = latent_scales.shape[1], latent_scales.shape[2]
         sd = self.cfg.slice_dim
         K = states.shape[-1]
+        y_slices = jnp.split(true_y.astype(jnp.float32),
+                             self.cfg.num_slices, axis=-1)
         y_hat = jnp.zeros((B, y_h, y_w, 0), jnp.float32)
         ok = jnp.bool_(True)
-        idx_list = []
+        idx_list, sym_list = [], []
         for i in range(self.cfg.num_slices):
             prev = ([] if i == 0 else list(jnp.split(y_hat, i, axis=-1)))
             support, mu, sigma = self._slice_context(
@@ -494,18 +504,31 @@ class DCAE(nn.Module):
             indexes = gaussian.build_indexes(
                 sigma, scale_table, self.cfg.scales_min).astype(jnp.int32)
             idx_list.append(indexes.astype(jnp.int8))
-            sym, ok_i = decode_interleaved(
-                words[i], n_words[i], states[i], indexes.reshape(-1),
-                lut_sym, lut_sf, K, unroll)
+            # the certified-encode replay (override=True) never reads the
+            # decoded symbols, so the entropy-decode loop sits behind a
+            # RUNTIME branch: the encoder skips its cost entirely while
+            # both modes still run the one shared executable (lax.cond
+            # executes a single branch at run time; the integer decode
+            # has no numerics to perturb, and the f32 context chain —
+            # the part cross-program certification exists for — stays
+            # outside the branch)
+            n_i = indexes.size
+            sym, ok_i = jax.lax.cond(
+                override,
+                lambda: (jnp.zeros((n_i,), jnp.int32), jnp.bool_(True)),
+                lambda: decode_interleaved(
+                    words[i], n_words[i], states[i], indexes.reshape(-1),
+                    lut_sym, lut_sf, K, unroll))
             sym = sym.at[patch_pos[i]].set(patch_val[i], mode="drop")
-            sym = jnp.where(override, true_syms[i].reshape(-1), sym)
+            sym_enc = jnp.round(y_slices[i] - mu).astype(jnp.int32)
+            sym = jnp.where(override, sym_enc.reshape(-1), sym)
+            sym_list.append(sym.reshape(B, y_h, y_w, sd))
             y_hat_slice = self._apply_symbols(
                 i, support, mu,
                 sym.reshape(B, y_h, y_w, sd).astype(jnp.float32))
             y_hat = jnp.concatenate([y_hat, y_hat_slice], axis=-1)
             ok = ok & ok_i
-        return (jnp.clip(self.g_s(y_hat).astype(jnp.float32), 0.0, 1.0),
-                ok, jnp.stack(idx_list))
+        return y_hat, ok, jnp.stack(idx_list), jnp.stack(sym_list)
 
     def decode_all(self, z_hat: jax.Array, symbols: jax.Array) -> jax.Array:
         """Whole-decode-in-one-program: all slices' symbols are already
