@@ -267,6 +267,42 @@ class TestCodecInterleavedProfile:
         dec = codec.decompress_interleaved(b)
         assert bool(dec["ok"])
 
+    def test_certified_bucket_sticky_and_growth(self, codec, image):
+        """The certify-first encode seeds each batch's word bucket from
+        the previous batch's fixed point (steady state = exactly one
+        replay+re-encode pass) and must converge from a deliberately
+        tiny seed via the growth loop — with identical streams and the
+        same fixed-point bucket either way."""
+        from dcae_tpu.models.codec import _len_bucket
+
+        a = codec.compress_device(image)
+        assert len(codec._il_bucket) == 1  # one (cap, lanes) in this class
+        (key, fixed_bucket), = codec._il_bucket.items()
+        assert a["bucket"] == fixed_bucket
+        # poison the sticky seed: the smallest possible bucket
+        codec._il_bucket[key] = _len_bucket(1, key[0])
+        b = codec.compress_device(image)
+        assert b["istreams"] == a["istreams"]
+        np.testing.assert_array_equal(b["states"], a["states"])
+        assert b["bucket"] == fixed_bucket
+        assert codec._il_bucket[key] == fixed_bucket
+        dec = codec.decompress_interleaved(b)
+        assert bool(dec["ok"])
+
+    def test_uncertified_env_path_matches(self, codec, image, monkeypatch):
+        """DCAE_IL_CERTIFY=0 (single-program encoder, no replay) must
+        emit the same streams on a single platform and still decode ok —
+        it is the fallback when the replay cost is not wanted and the
+        deployment is same-program (e.g. loopback)."""
+        a = codec.compress_device(image)
+        monkeypatch.setenv("DCAE_IL_CERTIFY", "0")
+        b = codec.compress_device(image)
+        assert b["istreams"] == a["istreams"]
+        np.testing.assert_array_equal(b["states"], a["states"])
+        assert b["z_strings"] == a["z_strings"]
+        dec = codec.decompress_interleaved(b)
+        assert bool(dec["ok"])
+
     def test_pipeline_matches_sequential(self, codec, image):
         seq_enc = codec.compress_interleaved(image)
         seq = codec.decompress_interleaved(seq_enc)
