@@ -175,6 +175,15 @@ def encode_interleaved_device(symbols: jax.Array, indexes: jax.Array,
     decode_interleaved; the streams are bit-identical to the C++
     encoder's). symbols/indexes: (n,) int32 in stream order.
 
+    The sequential loop only advances lane states and records each
+    iteration's emitted words as a CONTIGUOUS (Tp, K) row write (the
+    same shape of store the decode loop uses) — per-word stream
+    positions are NOT computed in-loop. They are a pure function of the
+    emission mask, so one vectorized cumsum+scatter after the loop
+    assembles the stream (the previous in-loop 1-word-granularity
+    scatter + per-iteration cumsum made the encode loop ~3.5x the cost
+    of the whole analysis transform on TPU; docs/PERF.md).
+
     Returns (words (cap,) uint16 in EMISSION order — the byte stream is
     the reversed prefix words[:n_words] — n_words int32, states (K,)
     uint32 decode-start states, escape bool). escape=True means some
@@ -186,7 +195,7 @@ def encode_interleaved_device(symbols: jax.Array, indexes: jax.Array,
     T = -(-n // K)
     Tp = -(-T // U) * U
     pad = Tp * K - n
-    cap = n + 1  # <=1 renorm word per symbol; slot `cap-1`... guard below
+    cap = n + 1  # <=1 renorm word per symbol
     idx = jnp.concatenate(
         [indexes.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
     ).reshape(Tp, K)
@@ -196,7 +205,7 @@ def encode_interleaved_device(symbols: jax.Array, indexes: jax.Array,
     active_rows = (jnp.arange(Tp * K, dtype=jnp.int32) < n).reshape(Tp, K)
     u16mask = jnp.uint32(0xFFFF)
 
-    def step(t, x, ptr, buf, esc):
+    def step(t, x, wbuf, esc):
         active = active_rows[t]
         idx_t = idx[t]
         pos = sym[t] - offsets[idx_t]
@@ -209,31 +218,36 @@ def encode_interleaved_device(symbols: jax.Array, indexes: jax.Array,
         esc = esc | jnp.any(active & ~valid)
         freq = jnp.maximum(freq, jnp.uint32(1))  # div-safety; esc already set
         need = ((x >> jnp.uint32(16)) >= freq) & active
-        need_i = need.astype(jnp.int32)
-        # decode consumes lanes ASCENDING per iteration and the stream is
-        # the flipped emission buffer, so emit lanes DESCENDING here:
-        # lane j's slot counts the emitting lanes after it
-        after = jnp.cumsum(need_i[::-1])[::-1] - need_i
-        wpos = jnp.where(need, ptr + after, cap)  # cap -> dropped
-        # int32 buffer: 16-bit scatters lower poorly on TPU; cast at the end
-        buf = buf.at[wpos].set((x & u16mask).astype(jnp.int32), mode="drop")
+        # -1 marks "no word emitted" for the post-loop compaction
+        word = jnp.where(need, (x & u16mask).astype(jnp.int32), -1)
+        wbuf = jax.lax.dynamic_update_index_in_dim(wbuf, word, t, 0)
         x = jnp.where(need, x >> jnp.uint32(16), x)
         q = x // freq
         r = x - q * freq
         x = jnp.where(active, (q << jnp.uint32(16)) + r + start, x)
-        return x, ptr + jnp.sum(need_i), buf, esc
+        return x, wbuf, esc
 
     def body(i, carry):
-        x, ptr, buf, esc = carry
+        x, wbuf, esc = carry
         for s in range(U):
-            x, ptr, buf, esc = step(Tp - 1 - (i * U + s), x, ptr, buf, esc)
-        return x, ptr, buf, esc
+            x, wbuf, esc = step(Tp - 1 - (i * U + s), x, wbuf, esc)
+        return x, wbuf, esc
 
     x0 = jnp.full((K,), jnp.uint32(RANS_L16))
-    buf0 = jnp.zeros((cap,), jnp.int32)
-    x, ptr, buf, esc = jax.lax.fori_loop(
-        0, Tp // U, body, (x0, jnp.int32(0), buf0, jnp.bool_(False)))
-    return buf.astype(jnp.uint16), ptr, x, esc
+    wbuf0 = jnp.full((Tp, K), -1, jnp.int32)
+    x, wbuf, esc = jax.lax.fori_loop(
+        0, Tp // U, body, (x0, wbuf0, jnp.bool_(False)))
+    # assemble the stream: the loop ran t = Tp-1 .. 0 and (matching the
+    # C++ encoder / decode_interleaved's consumption order) lanes emit
+    # DESCENDING within an iteration, so emission order is wbuf reversed
+    # on both axes; word positions are the running count of emissions
+    seq = wbuf[::-1, ::-1].reshape(-1)
+    emit = seq >= 0
+    emit_i = emit.astype(jnp.int32)
+    cum = jnp.cumsum(emit_i)
+    wpos = jnp.where(emit, cum - 1, cap)  # cap -> dropped
+    buf = jnp.zeros((cap,), jnp.int32).at[wpos].set(seq, mode="drop")
+    return buf.astype(jnp.uint16), cum[-1], x, esc
 
 
 def encode_slices_with_patches(y_syms: jax.Array, idxs: jax.Array,
@@ -253,13 +267,10 @@ def encode_slices_with_patches(y_syms: jax.Array, idxs: jax.Array,
     buckets at all."""
     S = y_syms.shape[0]
     n = y_syms[0].size
-    words, n_words, states = [], [], []
-    ppos, pval, pcnt = [], [], []
-    escape = jnp.bool_(False)
-    overflow = jnp.bool_(False)
-    for s in range(S):
-        sym = y_syms[s].reshape(-1).astype(jnp.int32)
-        idx = idxs[s].reshape(-1).astype(jnp.int32)
+
+    def one_slice(sym, idx):
+        sym = sym.reshape(-1).astype(jnp.int32)
+        idx = idx.reshape(-1).astype(jnp.int32)
         offs = offsets[idx]
         mp = maxpos[idx]
         csym = jnp.clip(sym - offs, 0, jnp.maximum(mp - 1, 0)) + offs
@@ -268,23 +279,22 @@ def encode_slices_with_patches(y_syms: jax.Array, idxs: jax.Array,
                           fill_value=n)[0].astype(jnp.int32)
         val = sym[jnp.minimum(pos, n - 1)]
         cnt = esc_mask.sum()
-        overflow = overflow | (cnt > patch_cap)
         buf, nw, st, esc = encode_interleaved_device(
             csym, idx, enc_sf, offsets, maxpos, stride, lanes, unroll)
-        words.append(buf)
-        n_words.append(nw)
-        states.append(st)
-        ppos.append(pos)
-        pval.append(val)
-        pcnt.append(cnt)
-        escape = escape | esc
+        return buf, nw, st, pos, val, cnt, esc
+
+    # vmap over slices: all S sequential encode loops advance in ONE
+    # fori_loop (S*K lanes of vector work per iteration instead of K),
+    # amortizing the per-iteration loop overhead S-fold
+    words, n_words, states, ppos, pval, pcnt, escs = jax.vmap(one_slice)(
+        y_syms.reshape(S, -1), idxs.reshape(S, -1))
     return {
-        "words": jnp.stack(words),
-        "n_words": jnp.stack(n_words),
-        "states": jnp.stack(states),
-        "patch_pos": jnp.stack(ppos),
-        "patch_val": jnp.stack(pval),
-        "patch_count": jnp.stack(pcnt),
-        "patch_overflow": overflow,
-        "escape": escape,
+        "words": words,
+        "n_words": n_words,
+        "states": states,
+        "patch_pos": ppos,
+        "patch_val": pval,
+        "patch_count": pcnt,
+        "patch_overflow": jnp.any(pcnt > patch_cap),
+        "escape": jnp.any(escs),
     }
