@@ -42,16 +42,22 @@ def build_slot_tables(cdfs, cdf_lengths, offsets
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Flat slot LUTs for the device decoder.
 
-    Returns (lut_sym, lut_sf), each (rows * 2^16,):
+    Returns (lut_sym, lut_df), each (rows * 2^16,):
       lut_sym int32 — the decoded SYMBOL VALUE (bucket + row offset baked);
-      lut_sf uint32 — cdf start (low 16) | freq-1 (high 16).
+      lut_df uint32 — (slot - cdf start) in the low 16 | freq-1 in the
+        high 16. Storing slot-start instead of start keeps the state
+        update x2 = freq*(x>>16) + (slot-start) to ONE in-loop gather
+        (data-dependent gathers are scalar-core bound on TPU, ~15 ns per
+        element; the symbol lookup moves to one amortized post-loop
+        gather — see decode_interleaved).
     """
     cdfs = np.asarray(cdfs, np.int64)
     cdf_lengths = np.asarray(cdf_lengths, np.int64).reshape(-1)
     offsets = np.asarray(offsets, np.int64).reshape(-1)
     rows = cdfs.shape[0]
     lut_sym = np.zeros((rows, SLOTS), np.int32)
-    lut_sf = np.zeros((rows, SLOTS), np.uint32)
+    lut_df = np.zeros((rows, SLOTS), np.uint32)
+    slot_ids = np.arange(SLOTS, dtype=np.uint32)
     for r in range(rows):
         L = int(cdf_lengths[r])
         cdf = cdfs[r, :L]
@@ -62,14 +68,14 @@ def build_slot_tables(cdfs, cdf_lengths, offsets
         lut_sym[r] = (pos + offsets[r]).astype(np.int32)
         starts = np.repeat(cdf[:-1], counts).astype(np.uint32)
         freqs = np.repeat(counts, counts).astype(np.uint32)
-        lut_sf[r] = starts | ((freqs - 1) << np.uint32(16))
-    return lut_sym.reshape(-1), lut_sf.reshape(-1)
+        lut_df[r] = (slot_ids - starts) | ((freqs - 1) << np.uint32(16))
+    return lut_sym.reshape(-1), lut_df.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("lanes", "unroll"))
 def decode_interleaved(words: jax.Array, n_words: jax.Array,
                        states: jax.Array, indexes: jax.Array,
-                       lut_sym: jax.Array, lut_sf: jax.Array,
+                       lut_sym: jax.Array, lut_df: jax.Array,
                        lanes: int, unroll: int = 1
                        ) -> Tuple[jax.Array, jax.Array]:
     """Decode `indexes.shape[0]` symbols from the interleaved stream.
@@ -79,6 +85,14 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
     indexes: (n,) int32 CDF-row per symbol in stream order.
     unroll: symbols decoded per lane per loop iteration (amortizes the
     fori_loop's per-iteration overhead; results are identical).
+
+    Data-dependent gathers dominate this loop (~15 ns/element on the
+    scalar core, independent of table size), so the loop does exactly
+    TWO: the packed (slot-start | freq-1) state-update LUT and the
+    renorm words. The decoded SLOTS are what the loop records; the
+    slot->symbol lookup happens once, vectorized, after the loop (big
+    gathers amortize ~2x better than in-loop ones).
+
     Returns (symbols (n,) int32, ok bool)."""
     n = indexes.shape[0]
     K = lanes
@@ -100,11 +114,10 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
         idx_t = idx[t]
         slot = x & u16mask
         flat = idx_t * SLOTS + slot.astype(jnp.int32)
-        sym = lut_sym[flat]
-        sf = lut_sf[flat]
-        start = sf & u16mask
-        freq = (sf >> jnp.uint32(16)) + jnp.uint32(1)
-        x2 = freq * (x >> jnp.uint32(16)) + slot - start
+        df = lut_df[flat]
+        delta = df & u16mask  # slot - cdf_start, baked per slot
+        freq = (df >> jnp.uint32(16)) + jnp.uint32(1)
+        x2 = freq * (x >> jnp.uint32(16)) + delta
         need = (x2 < jnp.uint32(RANS_L16)) & active
         need_i = need.astype(jnp.int32)
         pos = ptr + jnp.cumsum(need_i) - need_i
@@ -112,7 +125,7 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
         x2 = jnp.where(need, (x2 << jnp.uint32(16)) | w, x2)
         x = jnp.where(active, x2, x)
         out = jax.lax.dynamic_update_index_in_dim(
-            out, jnp.where(active, sym, 0), t, 0)
+            out, jnp.where(active, slot.astype(jnp.int32), 0), t, 0)
         return x, ptr + jnp.sum(need_i), out
 
     def body(i, carry):
@@ -127,7 +140,9 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
                                     (x0, jnp.int32(0), out0))
     ok = (ptr == n_words.astype(jnp.int32)) \
         & jnp.all(x == jnp.uint32(RANS_L16))
-    return out.reshape(-1)[:n], ok
+    slots = out.reshape(-1)[:n]
+    syms = lut_sym[indexes.astype(jnp.int32) * SLOTS + slots]
+    return syms, ok
 
 
 def build_enc_tables(cdfs, cdf_lengths, offsets
@@ -184,59 +199,87 @@ def encode_interleaved_device(symbols: jax.Array, indexes: jax.Array,
     scatter + per-iteration cumsum made the encode loop ~3.5x the cost
     of the whole analysis transform on TPU; docs/PERF.md).
 
+    Unlike the decoder, every table lookup here depends only on the
+    INPUT (symbols, indexes) — so the (start | freq) gather and escape
+    detection happen once, vectorized, before the loop, and the loop
+    body is pure lane-state arithmetic. The u32 state division becomes
+    an f32 reciprocal multiply (reciprocals precomputed outside) with a
+    two-step integer correction — exact (q is within +-1 of truth: the
+    renorm invariant bounds x < freq*2^16, so the f32 error is < 0.02),
+    and ~30 ms/batch cheaper than u32 // on the VPU.
+
     Returns (words (cap,) uint16 in EMISSION order — the byte stream is
     the reversed prefix words[:n_words] — n_words int32, states (K,)
     uint32 decode-start states, escape bool). escape=True means some
     symbol fell outside its row's in-range buckets: the stream is invalid
     and the caller must fall back to the classic format."""
-    n = indexes.shape[0]
-    K = lanes
-    U = max(1, int(unroll))
+    idx1 = indexes.astype(jnp.int32)
+    sym1 = symbols.astype(jnp.int32)
+    pos = sym1 - offsets[idx1]
+    in_range = (pos >= 0) & (pos < maxpos[idx1])
+    pos_c = jnp.clip(pos, 0, stride - 1)
+    return _encode_core(pos_c, idx1, in_range, enc_sf, stride, K=lanes,
+                        U=max(1, int(unroll)))
+
+
+def _encode_core(pos_c: jax.Array, idx1: jax.Array, in_range: jax.Array,
+                 enc_sf: jax.Array, stride: int, K: int, U: int):
+    """encode_interleaved_device's engine, taking PRE-CLAMPED bucket
+    positions and a row-validity mask so batch callers
+    (encode_slices_with_patches) that already gathered the per-symbol
+    offset/maxpos tables for clamping don't pay those 3.9M-element
+    gathers twice (each costs ~29 ms/batch-8; see docs/PERF.md)."""
+    n = idx1.shape[0]
     T = -(-n // K)
     Tp = -(-T // U) * U
     pad = Tp * K - n
     cap = n + 1  # <=1 renorm word per symbol
     idx = jnp.concatenate(
-        [indexes.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
-    ).reshape(Tp, K)
-    sym = jnp.concatenate(
-        [symbols.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
-    ).reshape(Tp, K)
+        [idx1, jnp.zeros((pad,), jnp.int32)]).reshape(Tp, K)
+    posp = jnp.concatenate(
+        [pos_c, jnp.zeros((pad,), jnp.int32)]).reshape(Tp, K)
+    okp = jnp.concatenate(
+        [in_range, jnp.zeros((pad,), bool)]).reshape(Tp, K)
     active_rows = (jnp.arange(Tp * K, dtype=jnp.int32) < n).reshape(Tp, K)
     u16mask = jnp.uint32(0xFFFF)
 
-    def step(t, x, wbuf, esc):
+    # everything table-driven, hoisted out of the loop (one amortized
+    # gather instead of Tp scalar-core-bound in-loop gathers)
+    sf = enc_sf[idx * stride + posp]
+    start_all = sf & u16mask
+    freq_raw = sf >> jnp.uint32(16)  # TRUE freq; 0 = zero-width bucket
+    esc = jnp.any(active_rows & ~(okp & (freq_raw > jnp.uint32(0))))
+    freq_all = jnp.maximum(freq_raw, jnp.uint32(1))  # div-safety
+    recip_all = 1.0 / freq_all.astype(jnp.float32)
+
+    def step(t, x, wbuf):
         active = active_rows[t]
-        idx_t = idx[t]
-        pos = sym[t] - offsets[idx_t]
-        pos_c = jnp.clip(pos, 0, stride - 1)
-        sf = enc_sf[idx_t * stride + pos_c]
-        start = sf & u16mask
-        freq = sf >> jnp.uint32(16)  # TRUE freq; 0 = zero-width bucket
-        valid = ((pos >= 0) & (pos < maxpos[idx_t])
-                 & (freq > jnp.uint32(0)) & active)
-        esc = esc | jnp.any(active & ~valid)
-        freq = jnp.maximum(freq, jnp.uint32(1))  # div-safety; esc already set
+        start = start_all[t]
+        freq = freq_all[t]
         need = ((x >> jnp.uint32(16)) >= freq) & active
         # -1 marks "no word emitted" for the post-loop compaction
         word = jnp.where(need, (x & u16mask).astype(jnp.int32), -1)
         wbuf = jax.lax.dynamic_update_index_in_dim(wbuf, word, t, 0)
-        x = jnp.where(need, x >> jnp.uint32(16), x)
-        q = x // freq
-        r = x - q * freq
+        x2 = jnp.where(need, x >> jnp.uint32(16), x)
+        # exact q = x2 // freq via f32 reciprocal + 2-step correction
+        q = (x2.astype(jnp.float32) * recip_all[t]).astype(jnp.uint32)
+        hi = x2 - q * freq
+        q = q - (hi >> jnp.uint32(31))   # q one high: wrapped negative
+        r = x2 - q * freq
+        q = q + (r >= freq).astype(jnp.uint32)
+        r = x2 - q * freq
         x = jnp.where(active, (q << jnp.uint32(16)) + r + start, x)
-        return x, wbuf, esc
+        return x, wbuf
 
     def body(i, carry):
-        x, wbuf, esc = carry
+        x, wbuf = carry
         for s in range(U):
-            x, wbuf, esc = step(Tp - 1 - (i * U + s), x, wbuf, esc)
-        return x, wbuf, esc
+            x, wbuf = step(Tp - 1 - (i * U + s), x, wbuf)
+        return x, wbuf
 
     x0 = jnp.full((K,), jnp.uint32(RANS_L16))
     wbuf0 = jnp.full((Tp, K), -1, jnp.int32)
-    x, wbuf, esc = jax.lax.fori_loop(
-        0, Tp // U, body, (x0, wbuf0, jnp.bool_(False)))
+    x, wbuf = jax.lax.fori_loop(0, Tp // U, body, (x0, wbuf0))
     # assemble the stream: the loop ran t = Tp-1 .. 0 and (matching the
     # C++ encoder / decode_interleaved's consumption order) lanes emit
     # DESCENDING within an iteration, so emission order is wbuf reversed
@@ -267,33 +310,61 @@ def encode_slices_with_patches(y_syms: jax.Array, idxs: jax.Array,
     buckets at all."""
     S = y_syms.shape[0]
     n = y_syms[0].size
+    sym2 = y_syms.reshape(S, -1).astype(jnp.int32)
+    idx2 = idxs.reshape(S, -1).astype(jnp.int32)
+    # offset and maxpos packed into one u32 row table: the per-symbol
+    # table reads are big scalar-core-bound gathers (~29 ms each per
+    # batch-8), so pay for ONE (offsets are small ints by construction
+    # of build_enc_tables inputs; 16-bit two's complement holds them)
+    om = ((offsets.astype(jnp.uint32) & jnp.uint32(0xFFFF))
+          | (maxpos.astype(jnp.uint32) << jnp.uint32(16)))
+    g = om[idx2]
+    offs = (((g & jnp.uint32(0xFFFF)) ^ jnp.uint32(0x8000)).astype(jnp.int32)
+            - (1 << 15))
+    mp = (g >> jnp.uint32(16)).astype(jnp.int32)
+    pos_raw = sym2 - offs
+    pos_cl = jnp.clip(pos_raw, 0, jnp.maximum(mp - 1, 0))
+    esc_mask = pos_cl != pos_raw
+    pcnt = esc_mask.sum(axis=1)
 
-    def one_slice(sym, idx):
-        sym = sym.reshape(-1).astype(jnp.int32)
-        idx = idx.reshape(-1).astype(jnp.int32)
-        offs = offsets[idx]
-        mp = maxpos[idx]
-        csym = jnp.clip(sym - offs, 0, jnp.maximum(mp - 1, 0)) + offs
-        esc_mask = csym != sym
-        pos = jnp.nonzero(esc_mask, size=patch_cap,
+    # patch-position extraction (nonzero => cumsum + full-length scatter)
+    # costs as much as the encode loop itself, but at trained rates most
+    # slices have ZERO escapes — so it sits behind a per-slice runtime
+    # lax.cond (outside the vmap: a real branch, not a select)
+    def _extract(mask, sym):
+        pos = jnp.nonzero(mask, size=patch_cap,
                           fill_value=n)[0].astype(jnp.int32)
-        val = sym[jnp.minimum(pos, n - 1)]
-        cnt = esc_mask.sum()
-        buf, nw, st, esc = encode_interleaved_device(
-            csym, idx, enc_sf, offsets, maxpos, stride, lanes, unroll)
-        return buf, nw, st, pos, val, cnt, esc
+        return pos, sym[jnp.minimum(pos, n - 1)]
+
+    def _none():
+        return (jnp.full((patch_cap,), n, jnp.int32),
+                jnp.zeros((patch_cap,), jnp.int32))
+
+    ppos, pval = [], []
+    for s in range(S):
+        pos, val = jax.lax.cond(
+            pcnt[s] > 0,
+            lambda m, sy: _extract(m, sy),
+            lambda m, sy: _none(),
+            esc_mask[s], sym2[s])
+        ppos.append(pos)
+        pval.append(val)
 
     # vmap over slices: all S sequential encode loops advance in ONE
     # fori_loop (S*K lanes of vector work per iteration instead of K),
-    # amortizing the per-iteration loop overhead S-fold
-    words, n_words, states, ppos, pval, pcnt, escs = jax.vmap(one_slice)(
-        y_syms.reshape(S, -1), idxs.reshape(S, -1))
+    # amortizing the per-iteration loop overhead S-fold; the clamped
+    # bucket positions feed the core directly (the clip above already
+    # bounds them by maxpos-1 <= stride-1, and mp > 0 is row validity)
+    words, n_words, states, escs = jax.vmap(
+        lambda pc, ix, ok: _encode_core(pc, ix, ok, enc_sf, stride,
+                                        K=lanes, U=max(1, int(unroll)))
+    )(pos_cl, idx2, mp > 0)
     return {
         "words": words,
         "n_words": n_words,
         "states": states,
-        "patch_pos": ppos,
-        "patch_val": pval,
+        "patch_pos": jnp.stack(ppos),
+        "patch_val": jnp.stack(pval),
         "patch_count": pcnt,
         "patch_overflow": jnp.any(pcnt > patch_cap),
         "escape": jnp.any(escs),

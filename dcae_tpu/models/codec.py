@@ -605,7 +605,21 @@ class DCAECodec:
         program, with a single host sync that fetches streams, states,
         patches and the narrow z together. The word bucket is seeded from
         the previous batch (self._il_bucket) so the fixed-point loop runs
-        once at steady state."""
+        once at steady state.
+
+        Internally split into a no-sync dispatch phase and a fetch phase
+        so the serving pipeline can overlap batch i's fetch (d2h + host
+        z-encode) with batch i+1's device programs."""
+        return self._compress_device_fetch(
+            self._compress_device_dispatch(x, lanes))
+
+    def _compress_device_dispatch(self, x, lanes: Optional[int] = None
+                                  ) -> dict:
+        """Phase 1 of compress_device: queue this batch's device programs
+        (analysis -> decoder-program replay -> re-encode) with NO host
+        sync; returns the pending handle _compress_device_fetch completes.
+        The uncertified env path has an inherent sync and rides through
+        as a finished result."""
         x = self._as_input(x)
         enc_sf, offs, maxpos, stride = self._enc_luts()
         B, H, W = x.shape[0], x.shape[1], x.shape[2]
@@ -613,35 +627,57 @@ class DCAECodec:
         n_slice = B * (H // yd) * (W // yd) * self.cfg.slice_dim
         K = lanes or _auto_lanes(n_slice)
         unroll = int(os.environ.get("DCAE_IL_UNROLL", "1"))
-        S = self.cfg.num_slices
-        P = self.patch_cap
         cap = n_slice + 1  # encode word-buffer width (<=1 word/symbol)
         if os.environ.get("DCAE_IL_CERTIFY", "1") == "0":
-            return self._compress_device_uncertified(
-                x, K, unroll, enc_sf, offs, maxpos, stride, cap)
+            return {"_sync": self._compress_device_uncertified(
+                x, K, unroll, enc_sf, offs, maxpos, stride, cap)}
         y, z_narrow, z_hat = self._analyze(self.params, x)
-        lsym, lsf = self._slot_luts()
-        dummy_ppos = jnp.full((S, P), n_slice, jnp.int32)
-        dummy_pval = jnp.zeros((S, P), jnp.int32)
-        dummy_nw = jnp.zeros((S,), jnp.int32)
-        dummy_states = jnp.full((S, K), 1 << 16, jnp.uint32)
         # cap-relative stream-length buckets (cap/16, cap/8, ...) so rate
         # jitter between batches cannot churn slice-program recompiles;
         # sticky seed from the last batch, cap//8 (~2 bits/symbol) first
         bucket = self._il_bucket.get((cap, K),
                                      _len_bucket(max(1, cap // 8), cap))
+        res = self._dispatch_replay_reencode(
+            y, z_hat, bucket, cap, K, unroll, enc_sf, offs, maxpos, stride)
+        return {"y": y, "z_narrow": z_narrow, "z_hat": z_hat, "res": res,
+                "bucket": bucket, "cap": cap, "K": K, "unroll": unroll,
+                "luts": (enc_sf, offs, maxpos, stride)}
+
+    def _dispatch_replay_reencode(self, y, z_hat, bucket: int, cap: int,
+                                  K: int, unroll: int, enc_sf, offs,
+                                  maxpos, stride: int) -> dict:
+        """Queue the certified replay (the decoder's own executable,
+        teacher-forced with y) and the re-encode program at the given
+        word bucket; no host sync."""
+        S = self.cfg.num_slices
+        P = self.patch_cap
+        lsym, lsf = self._slot_luts()
+        dummy_ppos = jnp.full((S, P), cap - 1, jnp.int32)
+        dummy_pval = jnp.zeros((S, P), jnp.int32)
+        dummy_nw = jnp.zeros((S,), jnp.int32)
+        dummy_states = jnp.full((S, K), 1 << 16, jnp.uint32)
+        dwords = jnp.zeros((S, bucket), jnp.uint16)
+        _, _, rawidx, syms = self._decode_streams(
+            self.params, z_hat, dwords, dummy_nw, dummy_states,
+            dummy_ppos, dummy_pval, np.bool_(True), y,
+            lsym, lsf, self._st(), unroll)
+        return self._reencode(syms, rawidx, enc_sf, offs, maxpos,
+                              stride, K, unroll, P)
+
+    def _compress_device_fetch(self, pend: dict) -> dict:
+        """Phase 2 of compress_device: ONE host sync for everything the
+        container needs (streams at the current bucket, states, patches,
+        narrow z); iterates the word bucket to its fixed point — rare
+        under the sticky seed — by re-dispatching the replay at the grown
+        bucket. Raises rans.EscapeError exactly like compress_device."""
+        if "_sync" in pend:
+            return pend["_sync"]
+        z_narrow = pend["z_narrow"]
+        cap, K, unroll = pend["cap"], pend["K"], pend["unroll"]
+        enc_sf, offs, maxpos, stride = pend["luts"]
+        bucket, res = pend["bucket"], pend["res"]
+        S = self.cfg.num_slices
         for _ in range(5):
-            dwords = jnp.zeros((S, bucket), jnp.uint16)
-            _, _, rawidx, syms = self._decode_streams(
-                self.params, z_hat, dwords, dummy_nw, dummy_states,
-                dummy_ppos, dummy_pval, np.bool_(True), y,
-                lsym, lsf, self._st(), unroll)
-            res = self._reencode(syms, rawidx, enc_sf, offs,
-                                 maxpos, stride, K, unroll, P)
-            # ONE host sync for everything the container needs (the
-            # emitted words at the current bucket ride along; if the
-            # bucket must grow — rare under the sticky seed — the loop
-            # refetches at the fixed point)
             (n_words, states, escape, poverflow, ppos, pval, pcnt, words,
              z8, zover) = jax.device_get(
                 (res["n_words"], res["states"], res["escape"],
@@ -652,6 +688,9 @@ class DCAECodec:
             if b2 <= bucket:
                 break
             bucket = b2
+            res = self._dispatch_replay_reencode(
+                pend["y"], pend["z_hat"], bucket, cap, K, unroll,
+                enc_sf, offs, maxpos, stride)
         else:
             raise rans.EscapeError(
                 "certified encode: word bucket did not reach a fixed point")
@@ -1125,10 +1164,15 @@ class DCAECodec:
                                  jnp.asarray(symbols, jnp.int32))
         return {"x_hat": x_hat}
 
-    def _start_encode_producer(self, batches: List, encode_fn, maxsize: int):
+    def _start_encode_producer(self, batches: List, encode_fn, maxsize: int,
+                               dispatch_fn=None, fetch_fn=None):
         """Shared serving-loop producer: a daemon thread encodes batches
         into a bounded queue with next-batch image-upload prefetch (the
         h2d transfer rides the link while this batch's fetch blocks).
+        When (dispatch_fn, fetch_fn) are given instead of encode_fn, the
+        producer runs dispatch-ahead double buffering: batch i+1's device
+        programs are queued BEFORE batch i's host sync, so the fetch's
+        d2h + host coding hide behind the next batch's device time.
         Returns (queue, dead_event, thread, err_list); the consumer must
         `dead.set(); thread.join()` in a finally block so a consumer
         failure never leaves the producer blocked on the full queue, and
@@ -1153,12 +1197,21 @@ class DCAECodec:
         def producer():
             try:
                 nxt = None
+                pend = None
                 for i, x in enumerate(batches):
                     cur = nxt if nxt is not None else self._as_input(x)
                     nxt = (self._as_input(batches[i + 1])
                            if i + 1 < len(batches) else None)
-                    if not _put(encode_fn(cur)):
+                    if dispatch_fn is None:
+                        if not _put(encode_fn(cur)):
+                            return
+                        continue
+                    d = dispatch_fn(cur)
+                    if pend is not None and not _put(fetch_fn(*pend)):
                         return
+                    pend = (d, cur)
+                if pend is not None:
+                    _put(fetch_fn(*pend))
             except BaseException as e:  # surface in the consumer
                 err.append(e)
                 _put(None)
@@ -1246,14 +1299,26 @@ class DCAECodec:
         Returns per-batch {"x_hat", "ok", "shape", "profile"} in order."""
         batches = list(batches)
 
-        def encode(x):
+        def dispatch(x):
+            # escape/overflow surfaces at fetch time for the certified
+            # path; the uncertified path syncs here, so route its escape
+            # to the fetch-side fallback too
             try:
-                return self.compress_device(x)
+                return self._compress_device_dispatch(x)
+            except rans.EscapeError:
+                return None
+
+        def fetch(d, x):
+            try:
+                if d is None:
+                    raise rans.EscapeError("dispatch-time escape")
+                return self._compress_device_fetch(d)
             except rans.EscapeError:
                 return {"_classic": self.compress(x)}
 
         q, dead, t, err = self._start_encode_producer(
-            batches, encode, maxsize=max(1, inflight))
+            batches, None, maxsize=max(1, inflight),
+            dispatch_fn=dispatch, fetch_fn=fetch)
         results: List[dict] = []
         pending: List[dict] = []
 

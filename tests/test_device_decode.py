@@ -116,6 +116,47 @@ def test_escape_raises(tables):
         rans.encode_interleaved(sym, idx, cdfs, lengths, offsets, 64)
 
 
+@pytest.mark.parametrize("K", [64, 1024])
+def test_device_encode_adversarial_freqs(K):
+    """The device encoder's f32-reciprocal division must be EXACT for
+    every (state, freq) it can see — stress it with near-degenerate
+    tables (freq 1 buckets next to a freq ~2^16 bucket drive the
+    division through its extremes) and require bit-identical streams to
+    the C++ encoder."""
+    from dcae_tpu.entropy.device_decode import (build_enc_tables,
+                                                encode_interleaved_device)
+
+    rng = np.random.default_rng(11)
+    rows = 6
+    maxlen = 34
+    cdfs = np.zeros((rows, maxlen + 2), np.int32)
+    lengths = np.zeros(rows, np.int32)
+    offsets = np.zeros(rows, np.int32)
+    for r in range(rows):
+        n = int(rng.integers(3, maxlen))
+        # one dominant bucket, the rest width-1: freq in {1, 65536-n+1}
+        counts = np.ones(n, np.int64)
+        counts[int(rng.integers(0, n))] = (1 << 16) - n + 1
+        cdf = np.concatenate([[0], np.cumsum(counts)])
+        cdfs[r, :len(cdf)] = cdf
+        lengths[r] = len(cdf)
+    n_sym = 200_000
+    idx = rng.integers(0, rows, n_sym).astype(np.int32)
+    val = (rng.random(n_sym) * (lengths[idx] - 2)).astype(np.int32)
+    sym = val + offsets[idx]
+    stream, states = rans.encode_interleaved(sym, idx, cdfs, lengths,
+                                             offsets, K)
+    enc_sf, offs_i, maxpos, stride = build_enc_tables(cdfs, lengths,
+                                                      offsets)
+    buf, nw, st, esc = encode_interleaved_device(
+        jnp.asarray(sym), jnp.asarray(idx), jnp.asarray(enc_sf),
+        jnp.asarray(offs_i), jnp.asarray(maxpos), stride, K)
+    assert not bool(esc)
+    np.testing.assert_array_equal(np.asarray(st), states)
+    dev_stream = np.asarray(buf)[:int(nw)][::-1].tobytes()
+    assert dev_stream == stream
+
+
 def test_size_overhead_is_states_only(tables):
     """Interleaving must not cost stream bytes beyond the K lane states."""
     cdfs, lengths, offsets = tables
@@ -319,16 +360,16 @@ class TestCodecInterleavedProfile:
         the serving loop: that batch rides the classic bypass-coded path
         and every batch still returns a correct result in order."""
         seq = codec.decompress_interleaved(codec.compress_interleaved(image))
-        orig = codec.compress_device
+        orig = codec._compress_device_fetch
         calls = {"n": 0}
 
-        def flaky(x, **kw):
+        def flaky(pend):
             calls["n"] += 1
             if calls["n"] == 2:  # second batch escapes
                 raise rans.EscapeError("synthetic out-of-table symbol")
-            return orig(x, **kw)
+            return orig(pend)
 
-        monkeypatch.setattr(codec, "compress_device", flaky)
+        monkeypatch.setattr(codec, "_compress_device_fetch", flaky)
         outs = codec.encdec_pipeline_interleaved([image] * 3, inflight=2)
         assert [o["profile"] for o in outs] == [
             "interleaved", "classic", "interleaved"]
@@ -342,7 +383,7 @@ class TestCodecInterleavedProfile:
         def boom(*a, **k):
             raise RuntimeError("encode died")
 
-        monkeypatch.setattr(codec, "compress_device", boom)
+        monkeypatch.setattr(codec, "_compress_device_dispatch", boom)
         with pytest.raises(RuntimeError, match="encode died"):
             codec.encdec_pipeline_interleaved([image] * 3)
 
