@@ -75,11 +75,19 @@ def wait_for_device(budget_s: float) -> bool:
 
 
 def main():
+    import os
+
     import jax
+
+    # CPU smoke runs (JAX_PLATFORMS=cpu): the hosted TPU plugin
+    # re-registers itself over the env var and its pool claim can block
+    # indefinitely in a dead tunnel window, so force the config path too
+    # (same guard as tests/conftest.py) BEFORE any device touch.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     from dcae_tpu.config import DCAEConfig
     from dcae_tpu.models.codec import DCAECodec
-
-    import os
 
     # Never start benching into a dead tunnel window: wait (bounded) for
     # the chip to answer. DCAE_BENCH_WAIT_S=0 disables (e.g. CPU runs).
