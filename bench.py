@@ -129,11 +129,11 @@ def main():
     # one where the interleaved device-coding profile is valid (random
     # weights emit out-of-table symbols). Falls back to random weights
     # (detail.weights records which) if no checkpoint exists.
-    AUTO_CKPT = "/tmp/dcae_bench_ckpt/checkpoint_latest.ckpt"
+    AUTO_CKPTS = ("/tmp/dcae_bench_ckpt/checkpoint_latest.ckpt",
+                  "/tmp/dcae_bench_ckpt/checkpoint_best.ckpt")
     ckpt = os.environ.get("DCAE_BENCH_CKPT")
-    if (ckpt is None and os.environ.get("DCAE_BENCH_CONFIG", "full") == "full"
-            and os.path.exists(AUTO_CKPT)):
-        ckpt = AUTO_CKPT
+    if ckpt is None and os.environ.get("DCAE_BENCH_CONFIG", "full") == "full":
+        ckpt = next((p for p in AUTO_CKPTS if os.path.exists(p)), None)
     weights = "random"
     if ckpt:
         from dcae_tpu.utils.checkpoint import load_params_only
