@@ -1170,9 +1170,11 @@ class DCAECodec:
         into a bounded queue with next-batch image-upload prefetch (the
         h2d transfer rides the link while this batch's fetch blocks).
         When (dispatch_fn, fetch_fn) are given instead of encode_fn, the
-        producer runs dispatch-ahead double buffering: batch i+1's device
+        producer runs dispatch-ahead buffering: batch i+D's device
         programs are queued BEFORE batch i's host sync, so the fetch's
-        d2h + host coding hide behind the next batch's device time.
+        d2h + host coding hide behind the next batches' device time.
+        D = DCAE_IL_DISPATCH_AHEAD (default 1, i.e. double buffering;
+        deeper holds D batches of device buffers in flight).
         Returns (queue, dead_event, thread, err_list); the consumer must
         `dead.set(); thread.join()` in a finally block so a consumer
         failure never leaves the producer blocked on the full queue, and
@@ -1196,8 +1198,11 @@ class DCAECodec:
 
         def producer():
             try:
+                from collections import deque
+                depth = max(1, int(os.environ.get(
+                    "DCAE_IL_DISPATCH_AHEAD", "1")))
                 nxt = None
-                pend = None
+                pend: "deque" = deque()
                 for i, x in enumerate(batches):
                     cur = nxt if nxt is not None else self._as_input(x)
                     nxt = (self._as_input(batches[i + 1])
@@ -1206,12 +1211,13 @@ class DCAECodec:
                         if not _put(encode_fn(cur)):
                             return
                         continue
-                    d = dispatch_fn(cur)
-                    if pend is not None and not _put(fetch_fn(*pend)):
+                    pend.append((dispatch_fn(cur), cur))
+                    if (len(pend) > depth
+                            and not _put(fetch_fn(*pend.popleft()))):
                         return
-                    pend = (d, cur)
-                if pend is not None:
-                    _put(fetch_fn(*pend))
+                while pend:
+                    if not _put(fetch_fn(*pend.popleft())):
+                        return
             except BaseException as e:  # surface in the consumer
                 err.append(e)
                 _put(None)
