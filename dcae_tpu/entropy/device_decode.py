@@ -312,16 +312,23 @@ def encode_slices_with_patches(y_syms: jax.Array, idxs: jax.Array,
     n = y_syms[0].size
     sym2 = y_syms.reshape(S, -1).astype(jnp.int32)
     idx2 = idxs.reshape(S, -1).astype(jnp.int32)
-    # offset and maxpos packed into one u32 row table: the per-symbol
-    # table reads are big scalar-core-bound gathers (~29 ms each per
-    # batch-8), so pay for ONE (offsets are small ints by construction
-    # of build_enc_tables inputs; 16-bit two's complement holds them)
-    om = ((offsets.astype(jnp.uint32) & jnp.uint32(0xFFFF))
-          | (maxpos.astype(jnp.uint32) << jnp.uint32(16)))
-    g = om[idx2]
-    offs = (((g & jnp.uint32(0xFFFF)) ^ jnp.uint32(0x8000)).astype(jnp.int32)
-            - (1 << 15))
-    mp = (g >> jnp.uint32(16)).astype(jnp.int32)
+    # offset and maxpos per symbol WITHOUT a data-dependent gather: the
+    # row table is tiny (the scale-table length), so both lookups ride
+    # one broadcast compare+weighted-sum over row boundaries — the same
+    # transform that replaced searchsorted in gaussian.build_indexes
+    # (docs/PERF.md round 2). A row gather om[idx2] is a 3.9M-element
+    # scalar-core gather (~29 ms/batch-8); this fuses to one VPU pass
+    # over the indexes. Values pack into one int32 (offset biased to
+    # 16 bits, maxpos in the high bits) so there is ONE pass, not two;
+    # integer adds keep the prefix sums exact.
+    om = ((offsets.astype(jnp.int32) + (1 << 15))
+          + (maxpos.astype(jnp.int32) << 16))
+    rows = om.shape[0]
+    ge = idx2[..., None] >= jnp.arange(1, rows, dtype=jnp.int32)
+    g = om[0] + jnp.sum(jnp.where(ge, jnp.diff(om)[(None, None)], 0),
+                        axis=-1)
+    offs = (g & 0xFFFF) - (1 << 15)
+    mp = g >> 16
     pos_raw = sym2 - offs
     pos_cl = jnp.clip(pos_raw, 0, jnp.maximum(mp - 1, 0))
     esc_mask = pos_cl != pos_raw
