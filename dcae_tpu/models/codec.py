@@ -626,7 +626,13 @@ class DCAECodec:
         yd = self.cfg.y_downsample
         n_slice = B * (H // yd) * (W // yd) * self.cfg.slice_dim
         K = lanes or _auto_lanes(n_slice)
-        unroll = int(os.environ.get("DCAE_IL_UNROLL", "1"))
+        # decode-loop unroll default 2: U symbols/lane/iteration halve the
+        # fori_loop's per-iteration overhead (same-window A/B with fresh
+        # input buffers: decode program 203 -> 180 ms/batch-8 at the
+        # trained rate; u=4 flat). Identical results by construction; the
+        # value ships in the container so decoders run the certified
+        # executable shape.
+        unroll = int(os.environ.get("DCAE_IL_UNROLL", "2"))
         cap = n_slice + 1  # encode word-buffer width (<=1 word/symbol)
         if os.environ.get("DCAE_IL_CERTIFY", "1") == "0":
             return {"_sync": self._compress_device_uncertified(
@@ -719,6 +725,10 @@ class DCAECodec:
             # words array at THIS width so it runs the same executable the
             # certification replayed (the bucket is part of program shape)
             "bucket": bucket,
+            # ... and the same decode-loop unroll, the other static knob
+            # of the decode executable's shape (rides the container next
+            # to the bucket; decoders honor it over their own env)
+            "unroll": unroll,
             "z_strings": z_strings,
             "shape": (z_sym.shape[1], z_sym.shape[2]),
             "lanes": K,
@@ -762,6 +772,7 @@ class DCAECodec:
             "states": np.asarray(states),
             "patches": patches,
             "bucket": bucket,
+            "unroll": unroll,
             "z_strings": z_strings,
             "shape": (z_sym.shape[1], z_sym.shape[2]),
             "lanes": K,
@@ -867,7 +878,10 @@ class DCAECodec:
                 ppos[s, :len(pos)] = pos
                 pval[s, :len(val)] = val
         lsym, lsf = self._slot_luts()
-        unroll = int(os.environ.get("DCAE_IL_UNROLL", "1"))
+        # the encoder's recorded unroll wins (certified-executable shape,
+        # like the bucket); env default otherwise
+        unroll = int(enc.get("unroll")
+                     or os.environ.get("DCAE_IL_UNROLL", "2"))
         B = z_hat.shape[0]
         true0 = jnp.zeros((B, zh * r, zw * r,
                            self.cfg.slice_dim * self.cfg.num_slices),

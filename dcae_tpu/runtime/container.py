@@ -83,7 +83,10 @@ def read_bin(path: str, p: int = 128, z_downsample: int = 64):
 # bucket is the certified word-buffer width of compress_device (0 = none,
 # host-encoded stream): the decoder pads its per-slice word arrays to this
 # width so it runs the exact executable the certification replayed
-# (models/codec.py compress_device/_certify_encode).
+# (models/codec.py compress_device/_certify_encode). The field's top 8
+# bits carry the certified decode-loop UNROLL (0 = unspecified, legacy
+# containers / host-encoded streams) — the other static knob of the
+# decode executable's shape; the low 24 bits are the bucket itself.
 #
 # Patches are the (rare) Gaussian-tail symbols the stream carries clamped
 # into their CDF row's in-range buckets; the decoder scatters the exact
@@ -105,7 +108,12 @@ def pack_bin_interleaved(enc: dict, size: Tuple[int, int]) -> bytes:
         (np.empty(0, np.int32),) * 2 for _ in streams]
     out = _MAGIC_V2
     out += struct.pack(">HHHB", size[0], size[1], lanes, len(streams))
-    out += struct.pack(">I", int(enc.get("bucket") or 0))
+    bucket = int(enc.get("bucket") or 0)
+    unroll = int(enc.get("unroll") or 0)
+    if bucket >= 1 << 24 or unroll >= 1 << 8:
+        raise ValueError(f"bucket/unroll out of field range: "
+                         f"{bucket}/{unroll}")
+    out += struct.pack(">I", bucket | (unroll << 24))
     for s, stream in enumerate(streams):
         out += struct.pack(">I", len(stream))
         out += stream
@@ -128,7 +136,9 @@ def unpack_bin_interleaved(data: bytes, p: int = 128,
     if data[:4] != _MAGIC_V2:
         raise ValueError("not a DTI1 interleaved container")
     h, w, lanes, n_slices = struct.unpack(">HHHB", data[4:11])
-    (bucket,) = struct.unpack(">I", data[11:15])
+    (bucket_field,) = struct.unpack(">I", data[11:15])
+    bucket = bucket_field & 0xFFFFFF
+    unroll = bucket_field >> 24
     off = 15
     streams: List[bytes] = []
     states = []
@@ -156,7 +166,7 @@ def unpack_bin_interleaved(data: bytes, p: int = 128,
     z_shape = (padded[0] // z_downsample, padded[1] // z_downsample)
     enc = {"istreams": streams, "states": np.stack(states),
            "patches": patches, "z_strings": [z_string], "shape": z_shape,
-           "lanes": lanes, "bucket": bucket}
+           "lanes": lanes, "bucket": bucket, "unroll": unroll}
     return enc, padding, (h, w)
 
 
