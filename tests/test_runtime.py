@@ -81,7 +81,7 @@ def test_interleaved_container_roundtrip():
     patches = [(np.empty(0, np.int32), np.empty(0, np.int32))] * 4 + [
         (np.array([7, 191], np.int32), np.array([-300, 10_000], np.int32))]
     enc = {"istreams": streams, "states": states, "lanes": 64,
-           "patches": patches, "bucket": 4096,
+           "patches": patches, "bucket": 4096, "unroll": 2,
            "z_strings": [rng.bytes(33)], "shape": (2, 3)}
     data = container.pack_bin_interleaved(enc, (80, 100))
     assert container.is_interleaved_bin(data)
@@ -95,15 +95,26 @@ def test_interleaved_container_roundtrip():
     np.testing.assert_array_equal(dec["states"], states)
     assert dec["shape"] == (128 // 64, 128 // 64)
     assert dec["bucket"] == 4096
+    assert dec["unroll"] == 2  # certified decode-loop unroll rides along
     for (pa, va), (pb, vb) in zip(dec["patches"], patches):
         np.testing.assert_array_equal(pa, pb)
         np.testing.assert_array_equal(va, vb)
-    # an enc without patches/bucket keys (host-encoded streams) packs as
-    # zero patches / bucket 0 and unpacks to the same
+    # an enc without patches/bucket/unroll keys (host-encoded streams)
+    # packs as zero patches / bucket 0 / unroll 0 and unpacks to the same
     enc2 = dict(enc)
     del enc2["patches"]
     del enc2["bucket"]
+    del enc2["unroll"]
     dec2, _, _ = container.unpack_bin_interleaved(
         container.pack_bin_interleaved(enc2, (80, 100)))
     assert all(len(p) == 0 and len(v) == 0 for p, v in dec2["patches"])
     assert dec2["bucket"] == 0
+    assert dec2["unroll"] == 0
+    # field-range guard: bucket must fit 24 bits, unroll 8
+    enc3 = dict(enc)
+    enc3["bucket"] = 1 << 24
+    try:
+        container.pack_bin_interleaved(enc3, (80, 100))
+        raise AssertionError("expected ValueError for oversized bucket")
+    except ValueError:
+        pass
