@@ -88,10 +88,15 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
 
     Data-dependent gathers dominate this loop (~15 ns/element on the
     scalar core, independent of table size), so the loop does exactly
-    TWO: the packed (slot-start | freq-1) state-update LUT and the
-    renorm words. The decoded SLOTS are what the loop records; the
-    slot->symbol lookup happens once, vectorized, after the loop (big
-    gathers amortize ~2x better than in-loop ones).
+    ONE: the packed (slot-start | freq-1) state-update LUT. The renorm
+    WORD fetch — whose positions are ptr + cumsum(consume-mask), all
+    within [ptr, ptr+K) — is instead a contiguous dynamic_slice window
+    (a DMA, not a gather) plus a one-hot compare-select-reduce over the
+    window (pure VPU): measured same-window on the TPU, the full decode
+    program drops 159.7 -> 135.0 ms/batch-8 at trained rates. The
+    decoded SLOTS are what the loop records; the slot->symbol lookup
+    happens once, vectorized, after the loop (big gathers amortize ~2x
+    better than in-loop ones).
 
     Returns (symbols (n,) int32, ok bool)."""
     n = indexes.shape[0]
@@ -104,10 +109,11 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
         [indexes.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
     ).reshape(Tp, K)
     active_rows = (jnp.arange(Tp * K, dtype=jnp.int32) < n).reshape(Tp, K)
-    # one safety slot so masked-out gathers at ptr == n_words stay in bounds
+    # K safety slots so the word window at ptr == n_words stays in bounds
     words_u32 = jnp.concatenate(
-        [words.astype(jnp.uint32), jnp.zeros((1,), jnp.uint32)])
+        [words.astype(jnp.uint32), jnp.zeros((K,), jnp.uint32)])
     u16mask = jnp.uint32(0xFFFF)
+    lane_iota = jnp.arange(K, dtype=jnp.int32)
 
     def step(t, x, ptr, out):
         active = active_rows[t]
@@ -120,8 +126,10 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
         x2 = freq * (x >> jnp.uint32(16)) + delta
         need = (x2 < jnp.uint32(RANS_L16)) & active
         need_i = need.astype(jnp.int32)
-        pos = ptr + jnp.cumsum(need_i) - need_i
-        w = words_u32[jnp.minimum(pos, words_u32.shape[0] - 1)]
+        local = jnp.cumsum(need_i) - need_i  # in [0, K)
+        window = jax.lax.dynamic_slice(words_u32, (ptr,), (K,))
+        oh = local[:, None] == lane_iota[None, :]
+        w = jnp.sum(jnp.where(oh, window[None, :], jnp.uint32(0)), axis=1)
         x2 = jnp.where(need, (x2 << jnp.uint32(16)) | w, x2)
         x = jnp.where(active, x2, x)
         out = jax.lax.dynamic_update_index_in_dim(
