@@ -238,10 +238,11 @@ def main():
     # SAME budget loop, alternating with the classic one — a same-window
     # A/B, the only comparison the time-shared chip admits.
     env_il = os.environ.get("DCAE_BENCH_DECODE_INTERLEAVE", "auto")
-    # interleaved serving: dispatch batch i+2's device programs before
-    # batch i's host sync (same-window A/B 2026-08-19: 12.47 vs 12.04
-    # img/s, the depth-2 number from the MORE contended window)
-    os.environ.setdefault("DCAE_IL_DISPATCH_AHEAD", "2")
+    # interleaved serving: dispatch batch i+3's device programs before
+    # batch i's host sync (2026-08-19 evening, back-to-back windows after
+    # the entropy-loop de-gathering: depth 3 -> 15.56 img/s vs depth 2 ->
+    # 14.15; earlier same-day depth-2-vs-1 A/B also favored deeper)
+    os.environ.setdefault("DCAE_IL_DISPATCH_AHEAD", "3")
     stream = [images] * PIPE_BATCHES
     pipe_times = []
     pipe_il_times = []
