@@ -124,7 +124,7 @@ def _kernel(x_hbm, w1g_ref, w1v_ref, b1g_ref, b1v_ref, dwk_ref, dwb_ref,
     y = (gate * vc).reshape(tile_h * W, h)
     out = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32) \
         + b2_ref[:]
-    out_ref[0] = out.reshape(tile_h, W, C)
+    out_ref[0] = out.reshape(tile_h, W, C).astype(out_ref.dtype)
 
 
 _VMEM_BUDGET = 12 * 2 ** 20  # leave headroom in the 16 MB VMEM
@@ -149,11 +149,15 @@ def _pick_tile_h(H: int, W: int = 0, C: int = 0, h: int = 0) -> int:
 def fused_conv_glu(x, ln_scale, ln_bias, w1, b1, dwk, dwb, w2, b2, *,
                    apply_ln: bool = True, interpret: bool = False,
                    tile_h: int = 0):
-    """x: (B, H, W, C) -> (B, H, W, C) float32.
+    """x: (B, H, W, C) -> (B, H, W, C) in the input's dtype (bf16 IO for
+    bf16 callers halves the HBM materialization around the opaque
+    pallas_call; f32 callers — the entropy-side DCA GLU — keep
+    bit-identical IO; kernel math is f32 either way).
     w1 (C, 2h) packed [gate | value]; dwk (3, 3, h) (HWC depthwise);
     w2 (h, C). ln_scale/ln_bias (C,) — ignored unless apply_ln."""
     B, H, W, C = x.shape
     h = w1.shape[1] // 2
+    io_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     if not tile_h:
         tile_h = _pick_tile_h(H, W, C, h)
     assert tile_h and H % tile_h == 0 and H // tile_h >= 2, (H, tile_h)
@@ -194,13 +198,13 @@ def fused_conv_glu(x, ln_scale, ln_bias, w1, b1, dwk, dwb, w2, b2, *,
         out_specs=pl.BlockSpec(
             (1, tile_h, W, C),
             lambda i: (i // n_tiles, i % n_tiles, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), io_dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, W, C), jnp.float32),
+            pltpu.VMEM((tile_h + 2, W, C), io_dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x.astype(jnp.float32), w1g, w1v, b1g, b1v, dwk2, dwb, w2, b2, lns,
+    )(x.astype(io_dtype), w1g, w1v, b1g, b1v, dwk2, dwb, w2, b2, lns,
       lnb)
     return out
 
@@ -254,10 +258,12 @@ _conv_glu_vjp.defvjp(_conv_glu_fwd, _conv_glu_bwd)
 
 def conv_glu_trainable(x, ln_scale, ln_bias, w1, b1, dwk, dwb, w2, b2, *,
                        apply_ln: bool = True, interpret: bool = False):
-    """fused_conv_glu with gradients (fused forward, recompute backward)."""
-    args = [a.astype(jnp.float32) for a in
-            (x, ln_scale, ln_bias, w1, b1, dwk, dwb, w2, b2)]
-    return _conv_glu_vjp(apply_ln, interpret, *args)
+    """fused_conv_glu with gradients (fused forward, recompute backward).
+    Dtype-preserving: bf16 activations cross the pallas_call boundary as
+    bf16 (kernel math stays f32); the f32 entropy-side DCA callers are
+    bit-unchanged. Cotangents come back in the primal dtypes."""
+    return _conv_glu_vjp(apply_ln, interpret, x, ln_scale, ln_bias, w1,
+                         b1, dwk, dwb, w2, b2)
 
 
 def supported(H: int, W: int, C: int, h: int) -> bool:

@@ -85,7 +85,8 @@ def _kernel(ids_ref, xw_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
             tile_w: int, p: int, heads: int, scale: float):
     hm = hm_ref[:]                                   # (H*P, C) head mask
     for t in range(tile_w):                          # static unroll
-        x = xw_ref[t]                                # (P, C)
+        # VMEM-local upcast (bf16 IO callers); kernel math stays f32
+        x = xw_ref[t].astype(jnp.float32)            # (P, C)
         q = jnp.dot(x, wq_ref[:],
                     preferred_element_type=jnp.float32) + bq_ref[0]
         k = jnp.dot(x, wk_ref[:],
@@ -106,8 +107,9 @@ def _kernel(ids_ref, xw_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
         acc = o[0:p]
         for h in range(1, heads):
             acc = acc + o[h * p:(h + 1) * p]
-        out_ref[t] = jnp.dot(acc, wp_ref[:],
-                             preferred_element_type=jnp.float32) + bp_ref[0]
+        res = jnp.dot(acc, wp_ref[:],
+                      preferred_element_type=jnp.float32) + bp_ref[0]
+        out_ref[t] = res.astype(out_ref.dtype)
 
 
 def _head_mask(heads: int, p: int, head_dim: int) -> np.ndarray:
@@ -131,16 +133,22 @@ def fused_wmsa_v3(x, wqkv, bqkv, wproj, bproj, rel_table, *, window: int,
     w = window
     head_dim = C // heads
     p = w * w
+    # kernel IO follows the input dtype: bf16 callers (the g_a/g_s
+    # stages) halve the xw/out HBM materialization around the opaque
+    # pallas_call (stage-1 at 384x256x96 is ~900 MB of traffic in f32);
+    # f32 callers (the entropy-side hyper swin) keep bit-identical IO.
+    # Math inside the kernel is f32 either way (preferred_element_type).
+    io_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     if shifted:
         x = jnp.roll(x, shift=(-(w // 2), -(w // 2)), axis=(1, 2))
     nh, nw = H // w, W // w
     xw = x.reshape(B, nh, w, nw, w, C).transpose(0, 1, 3, 2, 4, 5)
-    xw = xw.reshape(B * nh * nw, p, C).astype(jnp.float32)
+    xw = xw.reshape(B * nh * nw, p, C).astype(io_dtype)
     n_windows = B * nh * nw
 
     pad = (-n_windows) % tile_w
     if pad:
-        xw = jnp.concatenate([xw, jnp.zeros((pad, p, C), jnp.float32)])
+        xw = jnp.concatenate([xw, jnp.zeros((pad, p, C), io_dtype)])
     ids = np.tile(_window_type_ids(nh, nw, shifted), B)
     ids = np.concatenate([ids, np.zeros(pad, np.int32)])
 
@@ -193,7 +201,7 @@ def fused_wmsa_v3(x, wqkv, bqkv, wproj, bproj, rel_table, *, window: int,
             ],
             out_specs=pl.BlockSpec((tile_w, p, C), row),
         ),
-        out_shape=jax.ShapeDtypeStruct((xw.shape[0], p, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((xw.shape[0], p, C), io_dtype),
         interpret=interpret,
     )(jnp.asarray(ids), xw, wq, wk, wv, bq, bk, bv, wproj, bproj,
       jnp.asarray(hm), jnp.asarray(bias, jnp.float32), jnp.asarray(mask))
@@ -289,9 +297,14 @@ _wmsa_v3_vjp.defvjp(_wmsa_v3_fwd, _wmsa_v3_bwd)
 def wmsa_v3_trainable(x, wqkv, bqkv, wproj, bproj, rel_table, *, window: int,
                       heads: int, shifted: bool, interpret: bool = False):
     """fused_wmsa_v3 with gradients: fused Pallas forward, einsum-recompute
-    backward (one XLA program, no stored attention residuals). Inputs are
-    promoted to f32 (the kernel computes f32 regardless); grads flow back
-    to the original dtypes through the casts."""
-    args = [a.astype(jnp.float32) for a in
-            (x, wqkv, bqkv, wproj, bproj, rel_table)]
-    return _wmsa_v3_vjp(window, heads, shifted, interpret, *args)
+    backward (one XLA program, no stored attention residuals).
+
+    Dtype-preserving: bf16 activations stay bf16 across the pallas_call
+    boundary (the kernel upcasts in VMEM and computes f32 — the blanket
+    f32 promotion this wrapper used to do materialized 2x the bytes
+    around the opaque call, ~600 MB/program at stage-1). The VJP remains
+    consistent: the backward differentiates the f32 einsum restatement
+    through each input's own dtype, so cotangents come back in the
+    primal dtypes as custom_vjp requires."""
+    return _wmsa_v3_vjp(window, heads, shifted, interpret, x, wqkv, bqkv,
+                        wproj, bproj, rel_table)
