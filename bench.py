@@ -49,8 +49,8 @@ def wait_for_device(budget_s: float) -> bool:
     probe_src = (
         "import jax, jax.numpy as jnp\n"
         "x = jnp.ones((2048, 2048))\n"
-        "(x @ x).block_until_ready()\n"
-        "print('alive')\n"
+        "v = float((x @ x)[0, 0])\n"  # value fetch: a REAL barrier
+        "print('alive', v)\n"
     )
     t0 = time.perf_counter()
     first = True
@@ -88,6 +88,11 @@ def main():
 
     from dcae_tpu.config import DCAEConfig
     from dcae_tpu.models.codec import DCAECodec
+    # timing brackets use a value-fetch barrier, NOT block_until_ready:
+    # on the hosted axon platform block_until_ready can return before
+    # execution completes (docs/PERF.md measurement traps), which would
+    # inflate every throughput number below
+    from dcae_tpu.utils.profiling import force_sync
 
     # Never start benching into a dead tunnel window: wait (bounded) for
     # the chip to answer. DCAE_BENCH_WAIT_S=0 disables (e.g. CPU runs).
@@ -154,14 +159,14 @@ def main():
     for b in (1, batch):
         enc = codec.compress(images[:b])
         dec = codec.decompress(enc["strings"], enc["shape"])
-        jax.block_until_ready(dec["x_hat"])
+        force_sync(dec["x_hat"])
 
     # single-image latency
     t0 = time.perf_counter()
     enc = codec.compress(images[:1])
     t1 = time.perf_counter()
     dec = codec.decompress(enc["strings"], enc["shape"])
-    jax.block_until_ready(dec["x_hat"])
+    force_sync(dec["x_hat"])
     single_ms = 1000 * (time.perf_counter() - t0)
     single_enc_ms = 1000 * (t1 - t0)
 
@@ -185,7 +190,7 @@ def main():
         enc_s = time.perf_counter() - t0
         t1 = time.perf_counter()
         dec = codec.decompress(enc["strings"], enc["shape"])
-        jax.block_until_ready(dec["x_hat"])
+        force_sync(dec["x_hat"])
         dec_s = time.perf_counter() - t1
         if best is None or enc_s + dec_s < best[0] + best[1]:
             best = (enc_s, dec_s)
@@ -203,14 +208,14 @@ def main():
     try:
         enc_il = codec.compress_device(images)
         dec_il = codec.decompress_interleaved(enc_il)  # warm-up/compile
-        jax.block_until_ready(dec_il["x_hat"])
+        force_sync(dec_il["x_hat"])
         best_il = None
         for _ in range(3):
             t2 = time.perf_counter()
             enc_il = codec.compress_device(images)
             t3 = time.perf_counter()
             dec_il = codec.decompress_interleaved(enc_il)
-            jax.block_until_ready(dec_il["x_hat"])
+            force_sync(dec_il["x_hat"])
             t4 = time.perf_counter()
             if best_il is None or t4 - t2 < sum(best_il):
                 best_il = (t3 - t2, t4 - t3)
@@ -257,12 +262,12 @@ def main():
         il = (3 if r % 2 else 2) if env_il == "auto" else max(1, int(env_il))
         t0 = time.perf_counter()
         outs = codec.encdec_pipeline(stream, decode_interleave=il)
-        jax.block_until_ready([o["x_hat"] for o in outs])
+        force_sync([o["x_hat"] for o in outs])
         pipe_times.append(time.perf_counter() - t0)
         if race_il:
             t0 = time.perf_counter()
             outs = codec.encdec_pipeline_interleaved(stream)
-            jax.block_until_ready([o["x_hat"] for o in outs])
+            force_sync([o["x_hat"] for o in outs])
             pipe_il_times.append(time.perf_counter() - t0)
     best_pipe = min(pipe_times)
     median_pipe = float(np.median(pipe_times))
@@ -285,12 +290,12 @@ def main():
         try:
             e1 = codec.compress_device(images[:1])
             d1 = codec.decompress_interleaved(e1)  # warm-up/compile
-            jax.block_until_ready(d1["x_hat"])
+            force_sync(d1["x_hat"])
             t2 = time.perf_counter()
             e1 = codec.compress_device(images[:1])
             t3 = time.perf_counter()
             d1 = codec.decompress_interleaved(e1)
-            jax.block_until_ready(d1["x_hat"])
+            force_sync(d1["x_hat"])
             interleaved["single_image_ms"] = round(
                 1000 * (time.perf_counter() - t2), 1)
             interleaved["single_image_encode_ms"] = round(
@@ -304,11 +309,11 @@ def main():
         enc_i = codec.compress_with_indexes(images[:1])
         d1 = codec.decompress(enc_i["strings"], enc_i["shape"],
                               indexes=enc_i["indexes"])  # warm-up/compile
-        jax.block_until_ready(d1["x_hat"])
+        force_sync(d1["x_hat"])
         t2 = time.perf_counter()
         d1 = codec.decompress(enc_i["strings"], enc_i["shape"],
                               indexes=enc_i["indexes"])
-        jax.block_until_ready(d1["x_hat"])
+        force_sync(d1["x_hat"])
         single_dec_1trip_ms = 1000 * (time.perf_counter() - t2)
     except Exception as e:
         print(f"# 1-trip decode metric skipped: {e}", file=sys.stderr)

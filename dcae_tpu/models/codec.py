@@ -34,6 +34,7 @@ from dcae_tpu.entropy import rans
 from dcae_tpu.entropy.gaussian import get_scale_table
 from dcae_tpu.entropy.tables import CodecTables, build_codec_tables
 from dcae_tpu.models.dcae import DCAE
+from dcae_tpu.utils.profiling import force_sync
 
 
 def _len_bucket(n: int, cap: int) -> int:
@@ -1343,7 +1344,11 @@ class DCAECodec:
         pending: List[dict] = []
 
         def drain(d):
-            jax.block_until_ready(d["x_hat"])
+            # force_sync, not block_until_ready: the latter can return
+            # before execution completes on some PJRT plugins (docs/PERF.md
+            # measurement traps), which would break both the inflight
+            # backpressure and any timing bracket around this loop
+            force_sync(d["x_hat"])
             results.append(d)
 
         try:

@@ -33,14 +33,32 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def force_sync(tree):
+    """TRUE completion barrier for timing brackets and pipeline drains.
+
+    jax.block_until_ready can return before execution completes on some
+    remote-accelerator PJRT plugins (measured on the hosted axon TPU
+    platform: a "blocked" 5.5-TFLOP program returned in 0.1 ms while the
+    value fetch behind it stalled for its full execution — docs/PERF.md
+    "measurement traps"). Fetching one element of every leaf is a
+    guaranteed barrier on any platform: a d2h copy of a defined buffer
+    cannot start until the producing program has finished. Returns `tree`
+    so call sites can wrap expressions."""
+    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+              if isinstance(x, jax.Array)]
+    if leaves:
+        jax.device_get([x[(0,) * x.ndim] for x in leaves])
+    return tree
+
+
 def time_fn(fn: Callable, *args, iters: int = 5, warmup: int = 2) -> Dict:
     """Median/best wall time of fn(*args) with full device sync."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        force_sync(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        force_sync(fn(*args))
         times.append(time.perf_counter() - t0)
     return {"median_s": float(np.median(times)),
             "best_s": float(np.min(times)),
