@@ -49,7 +49,7 @@ def _gelu_f32(x):
 def _kernel(x_hbm, w1g_ref, w1v_ref, b1g_ref, b1v_ref, dwk_ref, dwb_ref,
             w2_ref, b2_ref, lns_ref, lnb_ref, out_ref, xbuf, sem, *,
             tile_h: int, n_tiles: int, W: int, C: int, h: int,
-            apply_ln: bool):
+            apply_ln: bool, bf16_math: bool):
     i = pl.program_id(0)
     b = i // n_tiles
     t = i % n_tiles
@@ -90,10 +90,14 @@ def _kernel(x_hbm, w1g_ref, w1v_ref, b1g_ref, b1v_ref, dwk_ref, dwb_ref,
         x = x * lns_ref[:] + lnb_ref[:]
 
     # fc1, pre-split weights (lane slicing at non-128 offsets is what the
-    # split avoids)
-    g = jnp.dot(x, w1g_ref[:], preferred_element_type=jnp.float32) \
+    # split avoids). bf16 callers matmul with bf16 MXU operands + f32
+    # accumulation (LN, conv, gate, and biases stay f32); f32 callers (the
+    # entropy-side DCA GLU) keep full f32 passes.
+    op_dtype = jnp.bfloat16 if bf16_math else jnp.float32
+    xq = x.astype(op_dtype)
+    g = jnp.dot(xq, w1g_ref[:], preferred_element_type=jnp.float32) \
         + b1g_ref[:]
-    v = jnp.dot(x, w1v_ref[:], preferred_element_type=jnp.float32) \
+    v = jnp.dot(xq, w1v_ref[:], preferred_element_type=jnp.float32) \
         + b1v_ref[:]
     g3 = g.reshape(tile_h + 2, W, h)
     # the conv's zero padding is zero in g-space: fc1 (and LN) map the
@@ -121,7 +125,7 @@ def _kernel(x_hbm, w1g_ref, w1v_ref, b1g_ref, b1v_ref, dwk_ref, dwb_ref,
 
     gate = _gelu_f32(acc)
     vc = v.reshape(tile_h + 2, W, h)[1:tile_h + 1]
-    y = (gate * vc).reshape(tile_h * W, h)
+    y = (gate * vc).reshape(tile_h * W, h).astype(op_dtype)
     out = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32) \
         + b2_ref[:]
     out_ref[0] = out.reshape(tile_h, W, C).astype(out_ref.dtype)
@@ -149,10 +153,12 @@ def _pick_tile_h(H: int, W: int = 0, C: int = 0, h: int = 0) -> int:
 def fused_conv_glu(x, ln_scale, ln_bias, w1, b1, dwk, dwb, w2, b2, *,
                    apply_ln: bool = True, interpret: bool = False,
                    tile_h: int = 0):
-    """x: (B, H, W, C) -> (B, H, W, C) in the input's dtype (bf16 IO for
-    bf16 callers halves the HBM materialization around the opaque
-    pallas_call; f32 callers — the entropy-side DCA GLU — keep
-    bit-identical IO; kernel math is f32 either way).
+    """x: (B, H, W, C) -> (B, H, W, C) in the input's dtype. bf16 callers
+    get bf16 IO AND bf16 MXU matmul operands with f32 accumulation (LN,
+    depthwise conv, GELU gate, and biases stay f32) — the arithmetic class
+    their einsum path would use under dtype=bfloat16, at the MXU's native
+    rate; f32 callers — the entropy-side DCA GLU — keep bit-identical
+    full-f32 math.
     w1 (C, 2h) packed [gate | value]; dwk (3, 3, h) (HWC depthwise);
     w2 (h, C). ln_scale/ln_bias (C,) — ignored unless apply_ln."""
     B, H, W, C = x.shape
@@ -164,20 +170,22 @@ def fused_conv_glu(x, ln_scale, ln_bias, w1, b1, dwk, dwb, w2, b2, *,
     n_tiles = H // tile_h
 
     f32 = jnp.float32
-    w1 = w1.astype(f32)
+    bf16_math = io_dtype == jnp.bfloat16
+    w_dtype = jnp.bfloat16 if bf16_math else f32
+    w1 = w1.astype(w_dtype)
     w1g, w1v = w1[:, :h], w1[:, h:]
     b1 = b1.astype(f32)
     b1g, b1v = b1[:h].reshape(1, h), b1[h:].reshape(1, h)
     dwk2 = dwk.astype(f32).reshape(9, h)
     dwb = dwb.astype(f32).reshape(1, h)
-    w2 = w2.astype(f32)
+    w2 = w2.astype(w_dtype)
     b2 = b2.astype(f32).reshape(1, C)
     lns = ln_scale.astype(f32).reshape(1, C)
     lnb = ln_bias.astype(f32).reshape(1, C)
 
     kernel = functools.partial(
         _kernel, tile_h=tile_h, n_tiles=n_tiles, W=W, C=C, h=h,
-        apply_ln=apply_ln)
+        apply_ln=apply_ln, bf16_math=bf16_math)
     const2 = lambda i: (0, 0)  # noqa: E731
     out = pl.pallas_call(
         kernel,

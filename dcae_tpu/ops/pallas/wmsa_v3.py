@@ -25,6 +25,13 @@ HxD/D = H-fold on the two attention matmuls — the same arithmetic waste XLA
 pays for K=D batched matmuls — but scores/probs never touch HBM and LN/qkv/
 proj fuse into the same program. (Behavioral parity: ops.blocks.WMSA's
 einsum path; ref /root/reference/models/dcae.py:225-298.)
+
+MXU utilization (round-3 continuation): qkv and proj run once per TILE
+((tile_w*P, C) row blocks — full 128-row MXU passes instead of 64-row
+per-window calls), and bf16 callers matmul with bf16 operands + f32
+accumulation (the MXU's native rate; f32 operand passes cost ~4x). f32
+callers keep full f32 math. Same-window chained-program A/B at batch 8:
+stage-1 10.3 ms / stage-2 5.5 / stage-3 3.5 per call.
 """
 
 from __future__ import annotations
@@ -81,35 +88,53 @@ def _mask_bank(p_tokens: int, window: int, shifted: bool) -> np.ndarray:
 
 
 def _kernel(ids_ref, xw_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
-            wp_ref, bp_ref, hm_ref, bias_ref, mask_ref, out_ref, *,
-            tile_w: int, p: int, heads: int, scale: float):
-    hm = hm_ref[:]                                   # (H*P, C) head mask
+            wp_ref, bp_ref, hm_ref, bm_ref, out_ref, *,
+            tile_w: int, p: int, heads: int, scale: float, bf16_math: bool):
+    """One grid step = tile_w windows.
+
+    qkv and proj run tile-wide ((tile_w*P, C) matmuls — 8x the rows of the
+    per-window formulation, so the MXU sees full 128-row passes); only the
+    inherently per-window attention matmuls stay in the static unroll.
+    bf16 callers (the g_a/g_s stages, whose einsum path would also matmul
+    in bf16) keep bf16 MXU operands with f32 accumulation; f32 callers get
+    bit-identical f32 math. Softmax and the head-sum are always f32.
+    """
+    op_dtype = jnp.bfloat16 if bf16_math else jnp.float32
+    hm = hm_ref[:]                                   # (H*P, C) head mask f32
+    hm_op = hm.astype(op_dtype)
+    x_all = xw_ref[:].reshape(tile_w * p, -1)        # (T*P, C)
+    if not bf16_math:
+        x_all = x_all.astype(jnp.float32)
+    q_all = (jnp.dot(x_all, wq_ref[:], preferred_element_type=jnp.float32)
+             + bq_ref[0]).astype(op_dtype)
+    k_all = (jnp.dot(x_all, wk_ref[:], preferred_element_type=jnp.float32)
+             + bk_ref[0]).astype(op_dtype)
+    v_all = (jnp.dot(x_all, wv_ref[:], preferred_element_type=jnp.float32)
+             + bv_ref[0]).astype(op_dtype)
+    accs = []
     for t in range(tile_w):                          # static unroll
-        # VMEM-local upcast (bf16 IO callers); kernel math stays f32
-        x = xw_ref[t].astype(jnp.float32)            # (P, C)
-        q = jnp.dot(x, wq_ref[:],
-                    preferred_element_type=jnp.float32) + bq_ref[0]
-        k = jnp.dot(x, wk_ref[:],
-                    preferred_element_type=jnp.float32) + bk_ref[0]
-        v = jnp.dot(x, wv_ref[:],
-                    preferred_element_type=jnp.float32) + bv_ref[0]
-        qp = pltpu.repeat(q, heads, axis=0) * hm     # (H*P, C)
+        q = q_all[t * p:(t + 1) * p]                 # (P, C)
+        k = k_all[t * p:(t + 1) * p]
+        v = v_all[t * p:(t + 1) * p]
+        qp = pltpu.repeat(q, heads, axis=0) * hm_op  # (H*P, C)
         s = jax.lax.dot_general(
             qp, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale      # (H*P, P)
         wid = ids_ref[pl.program_id(0) * tile_w + t]
-        s = s + bias_ref[:] + mask_ref[wid]
+        s = s + bm_ref[wid]                          # rel-pos bias + SW mask
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(op_dtype)
         o = jnp.dot(probs, v,
                     preferred_element_type=jnp.float32) * hm  # (H*P, C)
         acc = o[0:p]
         for h in range(1, heads):
             acc = acc + o[h * p:(h + 1) * p]
-        res = jnp.dot(acc, wp_ref[:],
-                      preferred_element_type=jnp.float32) + bp_ref[0]
-        out_ref[t] = res.astype(out_ref.dtype)
+        accs.append(acc)
+    acc_all = jnp.concatenate(accs, axis=0).astype(op_dtype)  # (T*P, C)
+    res = jnp.dot(acc_all, wp_ref[:],
+                  preferred_element_type=jnp.float32) + bp_ref[0]
+    out_ref[:] = res.reshape(tile_w, p, -1).astype(out_ref.dtype)
 
 
 def _head_mask(heads: int, p: int, head_dim: int) -> np.ndarray:
@@ -152,11 +177,16 @@ def fused_wmsa_v3(x, wqkv, bqkv, wproj, bproj, rel_table, *, window: int,
     ids = np.tile(_window_type_ids(nh, nw, shifted), B)
     ids = np.concatenate([ids, np.zeros(pad, np.int32)])
 
-    # kernel math is f32 whatever the stored weight dtype (weights are
-    # tiny next to activations, so the cast is noise)
-    wqkv = wqkv.astype(jnp.float32)
+    # bf16 callers (g_a/g_s stages) get bf16 MXU operands with f32
+    # accumulation — the same arithmetic class their einsum path would use
+    # under dtype=bfloat16, at ~4x the MXU rate of f32 passes. f32 callers
+    # keep full f32 math (bit-compatible with the pre-bf16 kernel). Biases
+    # and softmax stay f32 either way.
+    bf16_math = io_dtype == jnp.bfloat16
+    w_dtype = jnp.bfloat16 if bf16_math else jnp.float32
+    wqkv = wqkv.astype(w_dtype)
     bqkv = bqkv.astype(jnp.float32)
-    wproj = wproj.astype(jnp.float32)
+    wproj = wproj.astype(w_dtype)
     bproj = bproj.astype(jnp.float32)
     rel_table = rel_table.astype(jnp.float32)
     # reference packs qkv output channels head-major: c = h*D + d
@@ -169,14 +199,16 @@ def fused_wmsa_v3(x, wqkv, bqkv, wproj, bproj, rel_table, *, window: int,
     rel_idx = coords[:, None, :] - coords[None, :, :] + w - 1
     rel = rel_table[:, rel_idx[:, :, 0], rel_idx[:, :, 1]]  # (H, P, P)
     bias = rel.reshape(heads * p, p)
-    mask = np.zeros((4, heads * p, p), np.float32)
+    # rel-pos bias pre-folded into the 4 shifted-window mask banks: one
+    # (H*P, P) add per window inside the kernel instead of two
     bank = _mask_bank(p, w, shifted)                        # (4, P, P)
-    mask[:] = np.concatenate([bank] * heads, axis=1)
+    bm = jnp.asarray(np.concatenate([bank] * heads, axis=1),
+                     jnp.float32) + bias[None]              # (4, H*P, P)
     hm = _head_mask(heads, p, head_dim)
 
     grid = (xw.shape[0] // tile_w,)
     kernel = functools.partial(_kernel, tile_w=tile_w, p=p, heads=heads,
-                               scale=head_dim ** -0.5)
+                               scale=head_dim ** -0.5, bf16_math=bf16_math)
     row = lambda i, ids: (i, 0, 0)  # noqa: E731
     const2 = lambda i, ids: (0, 0)  # noqa: E731
     out = pl.pallas_call(
@@ -195,16 +227,15 @@ def fused_wmsa_v3(x, wqkv, bqkv, wproj, bproj, rel_table, *, window: int,
                 pl.BlockSpec((C, C), const2),              # wproj
                 pl.BlockSpec((1, C), const2),              # bproj
                 pl.BlockSpec((heads * p, C), const2),      # head mask
-                pl.BlockSpec((heads * p, p), const2),      # rel-pos bias
                 pl.BlockSpec((4, heads * p, p),
-                             lambda i, ids: (0, 0, 0)),    # SW mask bank
+                             lambda i, ids: (0, 0, 0)),    # bias+mask bank
             ],
             out_specs=pl.BlockSpec((tile_w, p, C), row),
         ),
         out_shape=jax.ShapeDtypeStruct((xw.shape[0], p, C), io_dtype),
         interpret=interpret,
     )(jnp.asarray(ids), xw, wq, wk, wv, bq, bk, bv, wproj, bproj,
-      jnp.asarray(hm), jnp.asarray(bias, jnp.float32), jnp.asarray(mask))
+      jnp.asarray(hm), bm)
 
     out = out[:n_windows]
     out = out.reshape(B, nh, nw, w, w, C).transpose(0, 1, 3, 2, 4, 5)
@@ -300,11 +331,11 @@ def wmsa_v3_trainable(x, wqkv, bqkv, wproj, bproj, rel_table, *, window: int,
     backward (one XLA program, no stored attention residuals).
 
     Dtype-preserving: bf16 activations stay bf16 across the pallas_call
-    boundary (the kernel upcasts in VMEM and computes f32 — the blanket
-    f32 promotion this wrapper used to do materialized 2x the bytes
-    around the opaque call, ~600 MB/program at stage-1). The VJP remains
-    consistent: the backward differentiates the f32 einsum restatement
-    through each input's own dtype, so cotangents come back in the
-    primal dtypes as custom_vjp requires."""
+    boundary AND matmul as bf16 MXU operands (f32 accumulation/softmax) —
+    the same arithmetic class the einsum path uses under dtype=bfloat16.
+    The VJP remains consistent: the backward differentiates the f32 einsum
+    restatement through each input's own dtype, so cotangents come back in
+    the primal dtypes as custom_vjp requires (f32-recompute backwards over
+    reduced-precision forwards is the standard mixed-precision pairing)."""
     return _wmsa_v3_vjp(window, heads, shifted, interpret, x, wqkv, bqkv,
                         wproj, bproj, rel_table)

@@ -151,3 +151,17 @@ def test_dca_pallas_path_matches_module_path(monkeypatch):
         v, q, dt))
     assert not np.allclose(got, 0)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_conv_glu_bf16_io():
+    """bf16 callers get bf16 MXU operands (f32 accumulation, LN/conv/gate
+    f32): output within bf16 matmul error of the f32 module path, in
+    bf16."""
+    m, v, x, args = _params(16)
+    want = np.asarray(m.apply(v, x))
+    got = fused_conv_glu(x.astype(jnp.bfloat16), *args, apply_ln=True,
+                         interpret=True)
+    assert got.dtype == jnp.bfloat16
+    scale = float(np.abs(want).max())
+    err = float(np.abs(np.asarray(got, np.float32) - want).max())
+    assert err <= 0.08 * scale, (err, scale)

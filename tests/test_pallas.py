@@ -71,3 +71,26 @@ def test_fused_wmsa_v3_grad_matches_einsum(shifted, rng):
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_fused_wmsa_v3_bf16_io(shifted, rng):
+    """bf16 callers get bf16 MXU operands (f32 accumulation/softmax): the
+    output must stay within bf16 matmul error of the f32 einsum path and
+    come back in bf16."""
+    window, head_dim, C = 4, 8, 24
+    heads = C // head_dim
+    x32 = jnp.asarray(rng.normal(0, 1, (2, 8, 12, C)).astype(np.float32))
+    m = WMSA(head_dim=head_dim, window_size=window, shifted=shifted)
+    variables = m.init(jax.random.PRNGKey(0), x32)
+    want = np.asarray(m.apply(variables, x32))
+    p = variables["params"]
+    got = fused_wmsa_v3(
+        x32.astype(jnp.bfloat16), p["qkv_kernel"], p["qkv_bias"],
+        p["proj_kernel"], p["proj_bias"], p["relative_position"],
+        window=window, heads=heads, shifted=shifted, tile_w=4,
+        interpret=True)
+    assert got.dtype == jnp.bfloat16
+    scale = float(np.abs(want).max())
+    err = float(np.abs(np.asarray(got, np.float32) - want).max())
+    assert err <= 0.08 * scale, (err, scale)
