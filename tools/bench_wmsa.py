@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--shifted", action="store_true")
+    ap.add_argument("--iters", type=int, default=10,
+                    help="kernel applications chained per dispatch")
     args = ap.parse_args()
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     rng = np.random.default_rng(0)
@@ -44,7 +46,7 @@ def main():
         bp = jnp.zeros((C,), jnp.float32)
         rel = jnp.asarray(rng.normal(0, 0.02, (heads, 15, 15)), jnp.float32)
 
-        ITERS = 10  # chained in ONE program: amortizes the ~28 ms dispatch
+        ITERS = args.iters  # chained in ONE program: amortizes dispatch
 
         @jax.jit
         def run(x):
