@@ -6,12 +6,20 @@ Baseline: the reference paper GPU latency of 193 ms enc+dec per Kodak image
 (~5.18 img/s; BASELINE.md "Latency / complexity").
 
 Protocol follows the reference (BASELINE.md): device-synced timing brackets,
-first (compile/warm-up) batch excluded.
+first (compile/warm-up) batch excluded. The headline statistic is the
+MEDIAN serving-loop round over the time budget (best-of kept as detail):
+the hosted chip is time-shared, and the median is the honest figure.
 
-Prints ONE JSON line.
+Capture guarantees (round-4 hardening): a JSON line is ALWAYS printed —
+the current best-so-far result is emitted after every milestone, a
+SIGTERM/SIGINT handler re-emits it before dying, and a SIGALRM hard cap
+(DCAE_BENCH_TOTAL_S, default 1500 s) bounds total runtime below the
+driver's kill timeout. The LAST JSON line on stdout is the result.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
@@ -19,6 +27,47 @@ import numpy as np
 
 
 BASELINE_IMG_PER_SEC = 1000.0 / 193.0  # reference enc+dec on its GPU
+
+# Best-so-far result, updated at every milestone and emitted by signal
+# handlers so a mid-bench kill still records a number (VERDICT r3 item 1).
+_RESULT = {
+    "metric": "kodak768x512_encdec_images_per_sec",
+    "value": 0.0,
+    "unit": "img/s",
+    "vs_baseline": 0.0,
+    "detail": {"error": "bench did not reach a measurement"},
+}
+
+
+def emit():
+    """Print the current best-so-far JSON line (last line wins)."""
+    sys.stdout.write(json.dumps(_RESULT) + "\n")
+    sys.stdout.flush()
+
+
+def _set_value(img_per_sec: float):
+    _RESULT["value"] = round(img_per_sec, 4)
+    _RESULT["vs_baseline"] = round(img_per_sec / BASELINE_IMG_PER_SEC, 4)
+    _RESULT["detail"].pop("error", None)
+
+
+def _install_capture_guards():
+    """SIGTERM/SIGINT/SIGALRM all emit best-so-far JSON, then exit 0.
+
+    Round 3 lost its driver bench to exactly this: the device-wait
+    outlived the driver's timeout and the kill arrived before any JSON
+    was printed (BENCH_r03.json rc=124, no number).
+    """
+    def handler(signum, frame):
+        _RESULT["detail"]["terminated_by_signal"] = signum
+        emit()
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+        signal.signal(sig, handler)
+    total_s = float(os.environ.get("DCAE_BENCH_TOTAL_S", "1500"))
+    if total_s > 0:
+        signal.alarm(int(total_s))
 
 
 def synthetic_kodak(n: int, h: int = 512, w: int = 768,
@@ -75,7 +124,7 @@ def wait_for_device(budget_s: float) -> bool:
 
 
 def main():
-    import os
+    _install_capture_guards()
 
     import jax
 
@@ -96,19 +145,16 @@ def main():
 
     # Never start benching into a dead tunnel window: wait (bounded) for
     # the chip to answer. DCAE_BENCH_WAIT_S=0 disables (e.g. CPU runs).
-    # default 6 h: observed pool-side dead windows run >10 h, and an
-    # honest zero is recorded if the budget still runs out
-    wait_s = float(os.environ.get("DCAE_BENCH_WAIT_S", "21600"))
+    # Default 18 min: must stay well under the driver's kill budget
+    # (~30 min observed) so the honest-zero JSON still lands; the
+    # SIGTERM/SIGALRM guards above are the backstop either way.
+    wait_s = float(os.environ.get("DCAE_BENCH_WAIT_S", "1080"))
     if wait_s > 0 and not wait_for_device(wait_s):
-        print(json.dumps({
-            "metric": "kodak768x512_encdec_images_per_sec",
-            "value": 0.0,
-            "unit": "img/s",
-            "vs_baseline": 0.0,
-            "detail": {"error": "TPU tunnel dead window: device probe "
-                                f"failed for {wait_s:.0f}s (pool-side "
-                                "claim starvation; see BENCH_HISTORY.md)"},
-        }))
+        _RESULT["detail"] = {
+            "error": "TPU tunnel dead window: device probe failed for "
+                     f"{wait_s:.0f}s (pool-side claim starvation; see "
+                     "BENCH_HISTORY.md)"}
+        emit()
         return
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
@@ -128,7 +174,7 @@ def main():
     codec = DCAECodec(cfg, seed=0)
     # DCAE_BENCH_CKPT: benchmark trained weights (realistic bpp — random
     # weights code at ~4.4 bpp, ~8x a trained model's host-coder load).
-    # When unset, auto-discover the 200-step full-size training artifact
+    # When unset, auto-discover the full-size training artifact
     # (tools/validate_training.py --full --save_path /tmp/dcae_bench_ckpt):
     # trained weights are the deployment-realistic configuration AND the
     # one where the interleaved device-coding profile is valid (random
@@ -150,6 +196,9 @@ def main():
             print(f"# checkpoint load failed, using random weights: {e}",
                   file=sys.stderr)
     codec.update(force=True)
+    _RESULT["detail"] = {"weights": weights, "batch": batch,
+                         "device": str(jax.devices()[0]),
+                         "error": "bench did not reach a measurement"}
 
     images = synthetic_kodak(batch)
 
@@ -175,9 +224,9 @@ def main():
     # batched throughput (one stream per image; the channel-AR round trips
     # amortize over the batch). The hosted chip is time-shared with 2-20x
     # duty-cycle swings (docs/PERF.md), so run rounds until a time budget
-    # elapses (>= n_rounds, <= BUDGET_S) and report the BEST round —
-    # standard min-latency practice, and the only way a quiet window can
-    # be observed at all on this link.
+    # elapses (>= n_rounds, <= BUDGET_S) and report the MEDIAN round
+    # (best-of kept as detail — VERDICT r3: best-of flatters on a
+    # contended chip; the median is the honest headline).
     BUDGET_S = float(os.environ.get(
         "DCAE_BENCH_BUDGET_S", "150" if n_rounds > 1 else "0"))
 
@@ -196,6 +245,23 @@ def main():
             best = (enc_s, dec_s)
         total_bytes = sum(len(s) for grp in enc["strings"] for s in grp)
     enc_s, dec_s = best
+
+    # first real number: record the sequential figure so a kill during
+    # the (longer) serving loop below still reports a measurement
+    _set_value(batch / (enc_s + dec_s))
+    _RESULT["detail"].update({
+        "profile": "sequential(provisional)",
+        "encode_ms_per_img": round(1000 * enc_s / batch, 1),
+        "decode_ms_per_img": round(1000 * dec_s / batch, 1),
+        "sequential_img_per_sec": round(batch / (enc_s + dec_s), 4),
+        "single_image_ms": round(single_ms, 1),
+        "single_image_encode_ms": round(single_enc_ms, 1),
+        "bpp": round(total_bytes * 8 / (batch * 512 * 768), 4),
+        "encode_mode": codec.encode_mode,
+        "fast_encoder": fused_ok,
+        "pipeline_batches": PIPE_BATCHES,
+    })
+    emit()
 
     # (b) warm the interleaved (device-decode) profile: per-slice K-lane
     # rANS y streams the decoder entropy-decodes ON the chip — decode is
@@ -232,6 +298,7 @@ def main():
         }
     except Exception as e:
         print(f"# interleaved profile skipped: {e}", file=sys.stderr)
+    _RESULT["detail"]["interleaved_profile"] = interleaved
 
     # (c) steady-state serving throughput: encode of batch i+1 overlaps
     # decode of batch i (codec.encdec_pipeline) — the headline metric.
@@ -249,9 +316,42 @@ def main():
     # 14.15; earlier same-day depth-2-vs-1 A/B also favored deeper)
     os.environ.setdefault("DCAE_IL_DISPATCH_AHEAD", "3")
     stream = [images] * PIPE_BATCHES
+    n_images = batch * PIPE_BATCHES
     pipe_times = []
     pipe_il_times = []
     race_il = interleaved.get("ok", False)
+
+    def update_headline():
+        """Refresh _RESULT from the serving samples collected so far.
+
+        Headline = MEDIAN of the winning deployable serving profile
+        (classic vs interleaved device-decode, whichever's median is
+        higher); best-of kept in detail.
+        """
+        med_c = n_images / float(np.median(pipe_times))
+        det = {
+            "profile": "classic",
+            "pipeline_ms_per_img": round(
+                1000 * float(np.median(pipe_times)) / n_images, 1),
+            "best_img_per_sec": round(n_images / min(pipe_times), 4),
+            "rounds": len(pipe_times),
+        }
+        ips = med_c
+        if pipe_il_times:
+            med_il = n_images / float(np.median(pipe_il_times))
+            interleaved["pipeline_img_per_sec"] = round(
+                n_images / min(pipe_il_times), 4)
+            interleaved["pipeline_median_img_per_sec"] = round(med_il, 4)
+            if med_il > med_c:
+                ips = med_il
+                det["profile"] = "interleaved_device_decode"
+                det["best_img_per_sec"] = interleaved["pipeline_img_per_sec"]
+                det["pipeline_ms_per_img"] = round(
+                    1000 * float(np.median(pipe_il_times)) / n_images, 1)
+            det["classic_median_img_per_sec"] = round(med_c, 4)
+        _set_value(ips)
+        _RESULT["detail"].update(det)
+
     t_bench0 = time.perf_counter()
     r = 0
     while r < n_rounds or time.perf_counter() - t_bench0 < BUDGET_S:
@@ -269,19 +369,10 @@ def main():
             outs = codec.encdec_pipeline_interleaved(stream)
             force_sync([o["x_hat"] for o in outs])
             pipe_il_times.append(time.perf_counter() - t0)
-    best_pipe = min(pipe_times)
-    median_pipe = float(np.median(pipe_times))
-    if pipe_il_times:
-        interleaved["pipeline_img_per_sec"] = round(
-            batch * PIPE_BATCHES / min(pipe_il_times), 4)
-        interleaved["pipeline_median_img_per_sec"] = round(
-            batch * PIPE_BATCHES / float(np.median(pipe_il_times)), 4)
+        update_headline()
+        if r == 1:  # intermediate capture after the FIRST completed round
+            emit()
 
-    # single-image decode in the indexes-shipped (DCAE_6) profile: the
-    # host rANS runs to completion upfront, so the whole channel-AR chain
-    # + synthesis is ONE device program (DCAE.decode_all) — 1 dispatch
-    # round trip instead of 6. Trades stream size (raw 6-bit indexes ride
-    # along) for latency; reported as a detail, not the headline.
     # single-image latency in the interleaved device-coding profile: the
     # whole codec is a handful of device programs with ONE host sync per
     # direction, so this is the latency profile for remote-accelerator
@@ -304,6 +395,11 @@ def main():
             print(f"# interleaved single-image metric skipped: {e}",
                   file=sys.stderr)
 
+    # single-image decode in the indexes-shipped (DCAE_6) profile: the
+    # host rANS runs to completion upfront, so the whole channel-AR chain
+    # + synthesis is ONE device program (DCAE.decode_all) — 1 dispatch
+    # round trip instead of 6. Trades stream size (raw 6-bit indexes ride
+    # along) for latency; reported as a detail, not the headline.
     single_dec_1trip_ms = -1.0  # best-effort: never risk the headline
     try:
         enc_i = codec.compress_with_indexes(images[:1])
@@ -317,46 +413,11 @@ def main():
         single_dec_1trip_ms = 1000 * (time.perf_counter() - t2)
     except Exception as e:
         print(f"# 1-trip decode metric skipped: {e}", file=sys.stderr)
+    _RESULT["detail"]["single_image_decode_1trip_ms"] = round(
+        single_dec_1trip_ms, 1)
 
-
-    n_images = batch * PIPE_BATCHES
-    ips = n_images / best_pipe
-    # headline = best DEPLOYABLE serving profile. The interleaved
-    # device-decode profile is a complete codec (reference-grade bpp,
-    # end-to-end checksum in dec["ok"]); when it wins the serving race
-    # it is the number a user gets, so it is the number we report.
-    profile = "classic"
-    if (interleaved.get("ok")
-            and interleaved.get("pipeline_img_per_sec", 0) > ips):
-        ips = interleaved["pipeline_img_per_sec"]
-        profile = "interleaved_device_decode"
-    result = {
-        "metric": "kodak768x512_encdec_images_per_sec",
-        "value": round(ips, 4),
-        "unit": "img/s",
-        "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 4),
-        "detail": {
-            "profile": profile,
-            "batch": batch,
-            "pipeline_batches": PIPE_BATCHES,
-            "pipeline_ms_per_img": round(1000 * best_pipe / n_images, 1),
-            "median_img_per_sec": round(n_images / median_pipe, 4),
-            "encode_ms_per_img": round(1000 * enc_s / batch, 1),
-            "decode_ms_per_img": round(1000 * dec_s / batch, 1),
-            "sequential_img_per_sec": round(batch / (enc_s + dec_s), 4),
-            "single_image_ms": round(single_ms, 1),
-            "single_image_encode_ms": round(single_enc_ms, 1),
-            "single_image_decode_1trip_ms": round(single_dec_1trip_ms, 1),
-            "interleaved_profile": interleaved,
-            "bpp": round(total_bytes * 8 / (batch * 512 * 768), 4),
-            "rounds": r,
-            "encode_mode": codec.encode_mode,
-            "fast_encoder": fused_ok,
-            "weights": weights,
-            "device": str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(result))
+    update_headline()
+    emit()
 
 
 if __name__ == "__main__":

@@ -40,7 +40,22 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+def _force_cpu_platform_if_requested() -> None:
+    """JAX_PLATFORMS=cpu must also flip the config path: the hosted TPU
+    PJRT plugin re-registers itself over the env var and its pool claim
+    can block INDEFINITELY in a dead tunnel window (same guard as
+    tests/conftest.py and bench.py — here so every tools/ CLI gets it)."""
+    if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
 _enable_compilation_cache()
+_force_cpu_platform_if_requested()
 
 from dcae_tpu.config import DCAEConfig  # noqa: E402
 

@@ -268,8 +268,10 @@ def conv_glu_trainable(x, ln_scale, ln_bias, w1, b1, dwk, dwb, w2, b2, *,
                        apply_ln: bool = True, interpret: bool = False):
     """fused_conv_glu with gradients (fused forward, recompute backward).
     Dtype-preserving: bf16 activations cross the pallas_call boundary as
-    bf16 (kernel math stays f32); the f32 entropy-side DCA callers are
-    bit-unchanged. Cotangents come back in the primal dtypes."""
+    bf16 and get bf16 MXU operands with f32 accumulation (mirrors
+    fused_conv_glu); the f32 entropy-side DCA callers are bit-unchanged
+    with full-f32 kernel math. Cotangents come back in the primal
+    dtypes."""
     return _conv_glu_vjp(apply_ln, interpret, x, ln_scale, ln_bias, w1,
                          b1, dwk, dwb, w2, b2)
 

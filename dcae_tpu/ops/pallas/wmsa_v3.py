@@ -162,7 +162,8 @@ def fused_wmsa_v3(x, wqkv, bqkv, wproj, bproj, rel_table, *, window: int,
     # stages) halve the xw/out HBM materialization around the opaque
     # pallas_call (stage-1 at 384x256x96 is ~900 MB of traffic in f32);
     # f32 callers (the entropy-side hyper swin) keep bit-identical IO.
-    # Math inside the kernel is f32 either way (preferred_element_type).
+    # bf16 callers also get bf16 MXU operands (f32 accumulation via
+    # preferred_element_type); f32 callers keep full-f32 kernel math.
     io_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     if shifted:
         x = jnp.roll(x, shift=(-(w // 2), -(w // 2)), axis=(1, 2))

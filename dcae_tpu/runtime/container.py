@@ -172,3 +172,78 @@ def unpack_bin_interleaved(data: bytes, p: int = 128,
 
 def is_interleaved_bin(data: bytes) -> bool:
     return data[:4] == _MAGIC_V2
+
+
+# ---------------------------------------------------------------------------
+# Latent-handoff container ("DLT1"): the DCAE_4 deployment profile ships the
+# RAW analysis latent y instead of an entropy-coded stream (ref
+# models/dcae_4.py:728-732, eval_3.py:103; compress_and_decompress_cpu_gpu.py
+# saves y as a .pt file, and check.py:668-679 casts those files to int8 as a
+# size experiment). Layout:
+#     DLT1 | >H h | >H w | B dtype_code | >f scale | B ndim | >I dim... | raw
+# (h, w unpadded; scale is the int8 dequant multiplier, 1.0 for floats.)
+
+_MAGIC_LATENT = b"DLT1"
+_LATENT_DTYPES = {0: "float32", 1: "float16", 2: "bfloat16", 3: "int8"}
+_LATENT_CODES = {v: k for k, v in _LATENT_DTYPES.items()}
+
+
+def pack_latent(y, size: Tuple[int, int], dtype: str = "float32") -> bytes:
+    """y: (B, yh, yw, M) analysis latent; dtype selects the shipped
+    representation. int8 uses max-abs scaling with round-to-nearest
+    (strictly better than the reference experiment's plain truncating
+    cast, check.py:668-679; scale rides in the header)."""
+    import numpy as np
+
+    import ml_dtypes
+
+    if dtype not in _LATENT_CODES:
+        raise ValueError(f"unsupported latent dtype {dtype!r}")
+    y = np.asarray(y, np.float32)
+    scale = 1.0
+    if dtype == "int8":
+        amax = float(np.max(np.abs(y))) or 1.0
+        scale = amax / 127.0
+        payload = np.clip(np.rint(y / scale), -128, 127).astype(np.int8)
+    elif dtype == "bfloat16":
+        payload = y.astype(ml_dtypes.bfloat16)
+    else:
+        payload = y.astype(dtype)
+    out = _MAGIC_LATENT
+    out += struct.pack(">HHBf", size[0], size[1], _LATENT_CODES[dtype],
+                       scale)
+    out += struct.pack(">B", y.ndim)
+    for d in y.shape:
+        out += struct.pack(">I", d)
+    out += payload.tobytes()
+    return out
+
+
+def unpack_latent(data: bytes, p: int = 128):
+    """-> (y float32 (B, yh, yw, M), padding, (h, w))."""
+    import numpy as np
+
+    import ml_dtypes
+
+    if data[:4] != _MAGIC_LATENT:
+        raise ValueError("not a DLT1 latent container")
+    h, w, code, scale = struct.unpack(">HHBf", data[4:13])
+    (ndim,) = struct.unpack(">B", data[13:14])
+    off = 14
+    shape = []
+    for _ in range(ndim):
+        (d,) = struct.unpack(">I", data[off: off + 4])
+        shape.append(d)
+        off += 4
+    dtype = _LATENT_DTYPES[code]
+    np_dtype = ml_dtypes.bfloat16 if dtype == "bfloat16" else dtype
+    y = np.frombuffer(data[off:], dtype=np_dtype).reshape(shape)
+    y = y.astype(np.float32)
+    if dtype == "int8":
+        y = y * scale
+    _, padding = calculate_padding(h, w, p)
+    return y, padding, (h, w)
+
+
+def is_latent_bin(data: bytes) -> bool:
+    return data[:4] == _MAGIC_LATENT

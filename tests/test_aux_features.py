@@ -55,6 +55,20 @@ class TestMetricLogger:
         assert lines[0]["loss"] == 1.5 and lines[0]["ns"] == "train"
         assert lines[1]["ns"] == "val" and lines[1]["step"] == 100
 
+    def test_tensorboard_sink(self, tmp_path):
+        """The TensorBoard scalar writer (ref train.py:401,488) attaches
+        when the package is importable — in this image it is, so an
+        events file must appear next to the JSONL."""
+        import os
+
+        logger = MetricLogger(str(tmp_path), run_name="t")
+        if logger._tb is None:
+            pytest.skip("tensorboard not importable in this environment")
+        logger.log(0, {"loss": 1.5})
+        logger.close()
+        tb_files = os.listdir(tmp_path / "tb")
+        assert any(f.startswith("events.out.tfevents") for f in tb_files)
+
 
 class TestLatentHandoff:
     @pytest.fixture(scope="class")

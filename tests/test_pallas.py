@@ -77,7 +77,9 @@ def test_fused_wmsa_v3_grad_matches_einsum(shifted, rng):
 def test_fused_wmsa_v3_bf16_io(shifted, rng):
     """bf16 callers get bf16 MXU operands (f32 accumulation/softmax): the
     output must stay within bf16 matmul error of the f32 einsum path and
-    come back in bf16."""
+    come back in bf16. Runs interpret-only in CI; hardware lowering of
+    the bf16 ops (pltpu.repeat on bf16, bf16 concatenate, tile-wide
+    slicing) is covered by tools/bench_wmsa.py --dtype bf16 on TPU."""
     window, head_dim, C = 4, 8, 24
     heads = C // head_dim
     x32 = jnp.asarray(rng.normal(0, 1, (2, 8, 12, C)).astype(np.float32))

@@ -3,7 +3,7 @@ stage shapes (768x512 input, batch 8). Usage:
 
     python tools/bench_wmsa.py [--dtype bf16] [--reps 30]
 
-Prints per-stage mean ms with force_sync timing + rotated input buffers
+Prints per-stage median ms with force_sync timing + rotated input buffers
 (PERF.md measurement traps a/b/c).
 """
 

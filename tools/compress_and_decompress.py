@@ -31,7 +31,8 @@ def save_png(x_hat: np.ndarray, out_path: str) -> None:
 
 
 def compress_dir(codec: DCAECodec, data: str, save_path: str,
-                 interleaved: bool = False) -> None:
+                 interleaved: bool = False,
+                 latent_dtype: str = None) -> None:
     bin_dir = os.path.join(save_path, "bin")
     os.makedirs(bin_dir, exist_ok=True)
     for path in list_images(data):
@@ -39,6 +40,18 @@ def compress_dir(codec: DCAECodec, data: str, save_path: str,
         h, w = x.shape[1:3]
         padded, _ = pad_spatial(jnp.asarray(x), codec.cfg.pad_multiple)
         name = os.path.splitext(os.path.basename(path))[0] + ".bin"
+        if latent_dtype:
+            # latent-handoff profile (ref eval_3.py:103 / DCAE_4): ship
+            # raw y, no entropy coding; int8 is the check.py:668-679
+            # size experiment (max-abs scaled here, not plain-cast)
+            y = codec.compress_latent(padded)
+            data_bytes = container.pack_latent(y, (h, w),
+                                               dtype=latent_dtype)
+            with open(os.path.join(bin_dir, name), "wb") as f:
+                f.write(data_bytes)
+            print(f"{path} -> {name} ({len(data_bytes)} bytes, "
+                  f"DLT1 {latent_dtype})")
+            continue
         if interleaved:
             # device-decode profile (DTI1): falls back to the classic
             # container when a symbol escapes the coding tables
@@ -66,7 +79,11 @@ def decompress_dir(codec: DCAECodec, data: str, save_path: str) -> None:
     for name in bins:
         with open(os.path.join(data, name), "rb") as f:
             raw = f.read()
-        if container.is_interleaved_bin(raw):
+        if container.is_latent_bin(raw):
+            y, padding, _ = container.unpack_latent(
+                raw, codec.cfg.pad_multiple)
+            dec = codec.decompress_latent(y)
+        elif container.is_interleaved_bin(raw):
             enc, padding, _ = container.unpack_bin_interleaved(
                 raw, codec.cfg.pad_multiple, codec.cfg.z_downsample)
             dec = codec.decompress_interleaved(enc)
@@ -95,6 +112,14 @@ def main(argv=None):
     p.add_argument("--interleaved", action="store_true",
                    help="write the device-decode (DTI1) container; "
                         "decompress auto-detects either format")
+    p.add_argument("--latent", nargs="?", const="float32", default=None,
+                   dest="latent_dtype", metavar="DTYPE",
+                   choices=["float32", "float16", "bfloat16", "int8"],
+                   help="latent-handoff mode (ref eval_3.py): compress "
+                        "writes raw-y DLT1 containers in the given dtype "
+                        "instead of entropy-coded bitstreams; decompress "
+                        "auto-detects (int8 = check.py:668 cast "
+                        "experiment, max-abs scaled)")
     a = p.parse_args(argv)
 
     cfg = DCAEConfig.tiny() if a.tiny else DCAEConfig()
@@ -105,7 +130,8 @@ def main(argv=None):
     codec.update()
 
     if a.mode == "compress":
-        compress_dir(codec, a.data, a.save_path, interleaved=a.interleaved)
+        compress_dir(codec, a.data, a.save_path, interleaved=a.interleaved,
+                     latent_dtype=a.latent_dtype)
     else:
         decompress_dir(codec, a.data, a.save_path)
 
