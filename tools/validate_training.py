@@ -80,6 +80,12 @@ def main():
                     help="full-size model (default: tiny config)")
     ap.add_argument("--n-train", type=int, default=200)
     ap.add_argument("--precision-reg", type=float, default=0.0)
+    ap.add_argument("--aux_scheduler", action="store_true",
+                    help="adaptive aux LR (ref ExponentialTargetScheduler, "
+                         "train_5.py:3029-3067) — VERDICT r3 item 5 asks "
+                         "for full-size validation of this path")
+    ap.add_argument("--checkpoint", default=None,
+                    help="resume training from this checkpoint")
     args = ap.parse_args()
 
     if not os.path.isdir(os.path.join(args.data, "train")):
@@ -97,7 +103,8 @@ def main():
         lr_epochs=(max(1, int(args.epochs * 0.9)),),
         save_path=args.save_path, save=True, log_every=10,
         val_real_every=max(1, args.epochs // 2), val_real_images=4,
-        precision_reg=args.precision_reg)
+        precision_reg=args.precision_reg,
+        aux_scheduler=args.aux_scheduler, checkpoint=args.checkpoint)
 
     # untrained real-codec baseline bpp on test images
     import jax
