@@ -38,11 +38,11 @@ SLOTS = 1 << 16
 RANS_L16 = 1 << 16
 
 
-def build_slot_tables(cdfs, cdf_lengths, offsets
+def build_slot_tables(cdfs, cdf_lengths, offsets, paired: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Flat slot LUTs for the device decoder.
 
-    Returns (lut_sym, lut_df), each (rows * 2^16,):
+    paired=False (classic) returns (lut_sym, lut_df), each (rows * 2^16,):
       lut_sym int32 — the decoded SYMBOL VALUE (bucket + row offset baked);
       lut_df uint32 — (slot - cdf start) in the low 16 | freq-1 in the
         high 16. Storing slot-start instead of start keeps the state
@@ -50,6 +50,15 @@ def build_slot_tables(cdfs, cdf_lengths, offsets
         (data-dependent gathers are scalar-core bound on TPU, ~15 ns per
         element; the symbol lookup moves to one amortized post-loop
         gather — see decode_interleaved).
+
+    paired=True returns (row_offsets int32 (rows,), lut2 u32 (rows*2^16, 2))
+      lut2[:, 0] — the df word above; lut2[:, 1] — the BUCKET POSITION.
+      The decode loop gathers the (df, pos) PAIR with one index (same
+      scalar-core fetch count, contiguous second element) and records pos
+      directly, so the 3.9M-element post-loop symbol gather disappears —
+      symbols become pos + row offset via a broadcast compare-sum over
+      the tiny row table (one VPU pass; round-4 xprof: the post-loop
+      gather was 33.8 ms/batch-8, the biggest single decode op).
     """
     cdfs = np.asarray(cdfs, np.int64)
     cdf_lengths = np.asarray(cdf_lengths, np.int64).reshape(-1)
@@ -57,6 +66,7 @@ def build_slot_tables(cdfs, cdf_lengths, offsets
     rows = cdfs.shape[0]
     lut_sym = np.zeros((rows, SLOTS), np.int32)
     lut_df = np.zeros((rows, SLOTS), np.uint32)
+    lut_pos = np.zeros((rows, SLOTS), np.uint32) if paired else None
     slot_ids = np.arange(SLOTS, dtype=np.uint32)
     for r in range(rows):
         L = int(cdf_lengths[r])
@@ -69,14 +79,30 @@ def build_slot_tables(cdfs, cdf_lengths, offsets
         starts = np.repeat(cdf[:-1], counts).astype(np.uint32)
         freqs = np.repeat(counts, counts).astype(np.uint32)
         lut_df[r] = (slot_ids - starts) | ((freqs - 1) << np.uint32(16))
+        if paired:
+            lut_pos[r] = pos.astype(np.uint32)
+    if paired:
+        lut2 = np.stack([lut_df.reshape(-1), lut_pos.reshape(-1)], axis=1)
+        return offsets.astype(np.int32), lut2
     return lut_sym.reshape(-1), lut_df.reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("lanes", "unroll"))
+def row_offset_bcast(indexes: jax.Array, offsets: jax.Array) -> jax.Array:
+    """Per-symbol row offset WITHOUT a data-dependent gather: broadcast
+    compare+weighted-sum over the tiny row table (the searchsorted
+    replacement transform, docs/PERF.md round 2). indexes (n,) int32,
+    offsets (rows,) int32 -> (n,) int32."""
+    rows = offsets.shape[0]
+    ge = indexes[:, None] >= jnp.arange(1, rows, dtype=jnp.int32)
+    return offsets[0] + jnp.sum(
+        jnp.where(ge, jnp.diff(offsets)[None, :], 0), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("lanes", "unroll", "paired"))
 def decode_interleaved(words: jax.Array, n_words: jax.Array,
                        states: jax.Array, indexes: jax.Array,
                        lut_sym: jax.Array, lut_df: jax.Array,
-                       lanes: int, unroll: int = 1
+                       lanes: int, unroll: int = 1, paired: bool = False
                        ) -> Tuple[jax.Array, jax.Array]:
     """Decode `indexes.shape[0]` symbols from the interleaved stream.
 
@@ -97,6 +123,13 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
     decoded SLOTS are what the loop records; the slot->symbol lookup
     happens once, vectorized, after the loop (big gathers amortize ~2x
     better than in-loop ones).
+
+    paired=True (round 4): lut_sym/lut_df are build_slot_tables(...,
+    paired=True)'s (row_offsets, lut2) — the loop gathers the (df, pos)
+    pair with ONE index and records the bucket position, so the
+    post-loop symbol gather (33.8 ms/batch-8, the largest single decode
+    op in the r4 xprof budget) is replaced by a broadcast compare-sum
+    over the tiny row-offset table.
 
     Returns (symbols (n,) int32, ok bool)."""
     n = indexes.shape[0]
@@ -120,7 +153,13 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
         idx_t = idx[t]
         slot = x & u16mask
         flat = idx_t * SLOTS + slot.astype(jnp.int32)
-        df = lut_df[flat]
+        if paired:
+            pair = lut_df[flat]        # (K, 2): one gather, 2 values
+            df = pair[:, 0]
+            rec = pair[:, 1].astype(jnp.int32)  # bucket position
+        else:
+            df = lut_df[flat]
+            rec = slot.astype(jnp.int32)
         delta = df & u16mask  # slot - cdf_start, baked per slot
         freq = (df >> jnp.uint32(16)) + jnp.uint32(1)
         x2 = freq * (x >> jnp.uint32(16)) + delta
@@ -133,7 +172,7 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
         x2 = jnp.where(need, (x2 << jnp.uint32(16)) | w, x2)
         x = jnp.where(active, x2, x)
         out = jax.lax.dynamic_update_index_in_dim(
-            out, jnp.where(active, slot.astype(jnp.int32), 0), t, 0)
+            out, jnp.where(active, rec, 0), t, 0)
         return x, ptr + jnp.sum(need_i), out
 
     def body(i, carry):
@@ -148,8 +187,11 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
                                     (x0, jnp.int32(0), out0))
     ok = (ptr == n_words.astype(jnp.int32)) \
         & jnp.all(x == jnp.uint32(RANS_L16))
-    slots = out.reshape(-1)[:n]
-    syms = lut_sym[indexes.astype(jnp.int32) * SLOTS + slots]
+    rec = out.reshape(-1)[:n]
+    if paired:
+        syms = rec + row_offset_bcast(indexes.astype(jnp.int32), lut_sym)
+    else:
+        syms = lut_sym[indexes.astype(jnp.int32) * SLOTS + rec]
     return syms, ok
 
 

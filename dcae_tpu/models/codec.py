@@ -162,6 +162,7 @@ class DCAECodec:
         self._st_src = None  # host array the device copy was made from
         self._slot_dev = None  # device slot LUTs (interleaved profile)
         self._slot_src = None  # CodecTables they were built from
+        self._slot_paired = None  # layout the cached LUTs were built for
         self._enc_lut_dev = None  # device encode tables (interleaved)
         self._enc_lut_src = None
         # interleaved-profile escape patches: max out-of-table symbols a
@@ -261,17 +262,18 @@ class DCAECodec:
             lambda p, z_hat, symbols: model.apply(
                 {"params": p}, z_hat, symbols, method=DCAE.decode_all))
         def _dec_streams_fn(p, z_hat, words, n_words, states, ppos, pval,
-                            override, true_syms, lsym, lsf, st, unroll):
+                            override, true_syms, lsym, lsf, st, unroll,
+                            paired):
             return model.apply(
                 {"params": p}, z_hat, words, n_words, states, ppos, pval,
-                override, true_syms, lsym, lsf, st, unroll,
+                override, true_syms, lsym, lsf, st, unroll, paired,
                 method=DCAE.decode_device_streams)
 
         # ONE jit for decoder AND certified-encode replay: executable
         # identity is what makes the replayed index chain the decoder's
         # (override is a traced input, never a static arg)
         self._decode_streams = jax.jit(_dec_streams_fn,
-                                       static_argnums=(12,))
+                                       static_argnums=(12, 13))
 
         def _reencode_fn(y_syms, rawidx, enc_sf, offs, maxpos, stride,
                          lanes, unroll, patch_cap):
@@ -537,18 +539,33 @@ class DCAECodec:
             t.gaussian.offset) for b in range(B)]
         return {"strings": [y_strings, z_strings], "shape": (zh, zw)}
 
-    def _slot_luts(self):
+    def _il_paired(self) -> bool:
+        """Paired (df, pos) slot LUT: the decode loop records bucket
+        positions directly, eliminating the post-loop symbol gather
+        (33.8 ms/batch-8 in the r4 xprof budget). DCAE_IL_PAIRED=0
+        selects the classic two-table layout (same streams either way;
+        the flag is part of the certified executable shape and rides
+        the DTI1 container like unroll)."""
+        return os.environ.get("DCAE_IL_PAIRED", "1") == "1"
+
+    def _slot_luts(self, paired=None):
         """Device-resident slot LUTs for the on-device entropy decoder
-        (built once per table bake; ~34 MB for the 64-row Gaussian bank)."""
+        (built once per table bake; ~34 MB classic / ~50 MB paired for
+        the 64-row Gaussian bank). paired overrides the env choice (the
+        decoder must build the layout the encoder's container recorded)."""
         t = self._require_tables()
-        if self._slot_dev is None or self._slot_src is not t:
+        if paired is None:
+            paired = self._il_paired()
+        if (self._slot_dev is None or self._slot_src is not t
+                or self._slot_paired != paired):
             from dcae_tpu.entropy.device_decode import build_slot_tables
             g = t.gaussian
             lsym, lsf = build_slot_tables(g.quantized_cdf, g.cdf_length,
-                                          g.offset)
+                                          g.offset, paired=paired)
             self._slot_dev = (jax.device_put(lsym, self.device),
                               jax.device_put(lsf, self.device))
             self._slot_src = t
+            self._slot_paired = paired
         return self._slot_dev
 
     def _enc_luts(self):
@@ -667,7 +684,7 @@ class DCAECodec:
         _, _, rawidx, syms = self._decode_streams(
             self.params, z_hat, dwords, dummy_nw, dummy_states,
             dummy_ppos, dummy_pval, np.bool_(True), y,
-            lsym, lsf, self._st(), unroll)
+            lsym, lsf, self._st(), unroll, self._slot_paired)
         return self._reencode(syms, rawidx, enc_sf, offs, maxpos,
                               stride, K, unroll, P)
 
@@ -730,6 +747,9 @@ class DCAECodec:
             # of the decode executable's shape (rides the container next
             # to the bucket; decoders honor it over their own env)
             "unroll": unroll,
+            # ... and the slot-LUT layout (paired df+pos vs classic),
+            # the third static knob of the certified executable shape
+            "paired": self._slot_paired,
             "z_strings": z_strings,
             "shape": (z_sym.shape[1], z_sym.shape[2]),
             "lanes": K,
@@ -878,9 +898,11 @@ class DCAECodec:
             if len(pos):
                 ppos[s, :len(pos)] = pos
                 pval[s, :len(val)] = val
-        lsym, lsf = self._slot_luts()
-        # the encoder's recorded unroll wins (certified-executable shape,
-        # like the bucket); env default otherwise
+        # the encoder's recorded unroll and LUT layout win (certified-
+        # executable shape, like the bucket); env defaults otherwise
+        want = enc.get("paired")
+        paired = self._il_paired() if want is None else bool(want)
+        lsym, lsf = self._slot_luts(paired=paired)
         unroll = int(enc.get("unroll")
                      or os.environ.get("DCAE_IL_UNROLL", "2"))
         B = z_hat.shape[0]
@@ -891,7 +913,7 @@ class DCAECodec:
             self.params, jnp.asarray(z_hat), jnp.asarray(words),
             jnp.asarray(n_words), jnp.asarray(states), jnp.asarray(ppos),
             jnp.asarray(pval), np.bool_(False), true0, lsym, lsf,
-            self._st(), unroll)
+            self._st(), unroll, paired)
         return {"x_hat": self._synthesis(self.params, y_hat), "ok": ok}
 
     def compress_latent(self, x) -> np.ndarray:

@@ -444,7 +444,8 @@ class DCAE(nn.Module):
                               patch_pos: jax.Array, patch_val: jax.Array,
                               override: jax.Array, true_y: jax.Array,
                               lut_sym: jax.Array, lut_sf: jax.Array,
-                              scale_table: jax.Array, unroll: int = 1):
+                              scale_table: jax.Array, unroll: int = 1,
+                              paired: bool = False):
         """Slice contexts + ON-DEVICE entropy decode of the K-lane
         interleaved rANS streams (entropy/device_decode.py) in one device
         program: the channel-AR chain needs no host round trips at all —
@@ -518,7 +519,7 @@ class DCAE(nn.Module):
                 lambda: (jnp.zeros((n_i,), jnp.int32), jnp.bool_(True)),
                 lambda: decode_interleaved(
                     words[i], n_words[i], states[i], indexes.reshape(-1),
-                    lut_sym, lut_sf, K, unroll))
+                    lut_sym, lut_sf, K, unroll, paired))
             sym = sym.at[patch_pos[i]].set(patch_val[i], mode="drop")
             sym_enc = jnp.round(y_slices[i] - mu).astype(jnp.int32)
             sym = jnp.where(override, sym_enc.reshape(-1), sym)

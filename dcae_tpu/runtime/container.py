@@ -110,10 +110,13 @@ def pack_bin_interleaved(enc: dict, size: Tuple[int, int]) -> bytes:
     out += struct.pack(">HHHB", size[0], size[1], lanes, len(streams))
     bucket = int(enc.get("bucket") or 0)
     unroll = int(enc.get("unroll") or 0)
-    if bucket >= 1 << 24 or unroll >= 1 << 8:
+    # top byte = unroll (7 bits) | paired-LUT flag (bit 31): all three are
+    # part of the certified decode-executable shape (models/codec.py)
+    paired = 1 if enc.get("paired") else 0
+    if bucket >= 1 << 24 or unroll >= 1 << 7:
         raise ValueError(f"bucket/unroll out of field range: "
                          f"{bucket}/{unroll}")
-    out += struct.pack(">I", bucket | (unroll << 24))
+    out += struct.pack(">I", bucket | (unroll << 24) | (paired << 31))
     for s, stream in enumerate(streams):
         out += struct.pack(">I", len(stream))
         out += stream
@@ -138,7 +141,8 @@ def unpack_bin_interleaved(data: bytes, p: int = 128,
     h, w, lanes, n_slices = struct.unpack(">HHHB", data[4:11])
     (bucket_field,) = struct.unpack(">I", data[11:15])
     bucket = bucket_field & 0xFFFFFF
-    unroll = bucket_field >> 24
+    unroll = (bucket_field >> 24) & 0x7F
+    paired = bool(bucket_field >> 31)
     off = 15
     streams: List[bytes] = []
     states = []
@@ -166,7 +170,8 @@ def unpack_bin_interleaved(data: bytes, p: int = 128,
     z_shape = (padded[0] // z_downsample, padded[1] // z_downsample)
     enc = {"istreams": streams, "states": np.stack(states),
            "patches": patches, "z_strings": [z_string], "shape": z_shape,
-           "lanes": lanes, "bucket": bucket, "unroll": unroll}
+           "lanes": lanes, "bucket": bucket, "unroll": unroll,
+           "paired": paired}
     return enc, padding, (h, w)
 
 

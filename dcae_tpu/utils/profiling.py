@@ -101,8 +101,8 @@ def report(fn: Callable, *args, iters: int = 5, warmup: int = 2,
     return out
 
 
-def op_stats(logdir: str, group_fn: Optional[Callable] = None
-             ) -> Dict[str, Dict]:
+def op_stats(logdir: str, group_fn: Optional[Callable] = None,
+             keep_rows: bool = False) -> Dict[str, Dict]:
     """Parse a jax.profiler trace (written by `trace(logdir)`) into
     per-op DEVICE-time stats via xprof — the number that is immune to a
     time-shared chip's duty cycle (wall timings are not). Returns
@@ -146,10 +146,13 @@ def op_stats(logdir: str, group_fn: Optional[Callable] = None
         if group_fn is not None:
             g = group_fn(str(r[i_op]))
             by_group[g] = by_group.get(g, 0.0) + r[i_tot] / 1e3
-    top = sorted(((r[i_tot] / 1e3, int(r[i_occ]), r[i_type], str(r[i_op]))
-                  for r in dev), reverse=True)[:25]
-    return {"total_ms": total / 1e3, "by_type": by_type,
-            "by_group": by_group, "top": top}
+    rows_out = sorted(((r[i_tot] / 1e3, int(r[i_occ]), r[i_type],
+                        str(r[i_op])) for r in dev), reverse=True)
+    out = {"total_ms": total / 1e3, "by_type": by_type,
+           "by_group": by_group, "top": rows_out[:25]}
+    if keep_rows:
+        out["rows"] = rows_out
+    return out
 
 
 def codec_breakdown(codec, x, iters: int = 3) -> Dict[str, Dict]:

@@ -420,3 +420,41 @@ def test_unroll_identical(tables, unroll):
     assert bool(ok0) and bool(ok)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
     np.testing.assert_array_equal(np.asarray(base), sym)
+
+
+@pytest.mark.parametrize("n,K,unroll", [(50_000, 1024, 1), (777, 16, 2),
+                                        (64, 64, 4)])
+def test_device_decode_paired_lut_matches(tables, n, K, unroll):
+    """paired=True (one in-loop (df, pos) pair gather, no post-loop symbol
+    gather — round-4 xprof item) decodes bit-identically to the classic
+    two-table layout."""
+    cdfs, lengths, offsets = tables
+    sym, idx = _draw(tables, n, seed=500 + n)
+    stream, states = rans.encode_interleaved(sym, idx, cdfs, lengths,
+                                             offsets, K)
+    row_offs, lut2 = build_slot_tables(cdfs, lengths, offsets, paired=True)
+    assert lut2.shape == (cdfs.shape[0] * 65536, 2)
+    words = np.frombuffer(stream, np.uint16)
+    out, ok = decode_interleaved(
+        jnp.asarray(words), jnp.int32(len(words)), jnp.asarray(states),
+        jnp.asarray(idx), jnp.asarray(row_offs), jnp.asarray(lut2), K,
+        unroll, True)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(out), sym)
+
+
+def test_paired_flag_rides_dti1_container():
+    from dcae_tpu.runtime import container
+
+    enc = {"istreams": [b"ab"], "states": np.ones((1, 4), "<u4"),
+           "patches": [(np.zeros(0, np.int32), np.zeros(0, np.int32))],
+           "z_strings": [b"z"], "lanes": 4, "bucket": 123, "unroll": 2,
+           "paired": True}
+    blob = container.pack_bin_interleaved(enc, (100, 160))
+    got, _, _ = container.unpack_bin_interleaved(blob)
+    assert got["paired"] is True and got["unroll"] == 2 \
+        and got["bucket"] == 123
+    enc["paired"] = False
+    got, _, _ = container.unpack_bin_interleaved(
+        container.pack_bin_interleaved(enc, (100, 160)))
+    assert got["paired"] is False and got["unroll"] == 2

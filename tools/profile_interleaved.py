@@ -40,7 +40,7 @@ def bucket(op_name: str) -> str:
     return "other"
 
 
-def profile_fn(label, fn, n_iters=2):
+def profile_fn(label, fn, n_iters=2, dump=None):
     import jax
 
     from dcae_tpu.utils.profiling import op_stats, trace
@@ -50,7 +50,12 @@ def profile_fn(label, fn, n_iters=2):
         with trace(d):
             for _ in range(n_iters):
                 fn()
-        s = op_stats(d, group_fn=bucket)
+        s = op_stats(d, group_fn=bucket, keep_rows=dump is not None)
+    if dump:
+        with open(dump, "w") as f:
+            for ms, occ, typ, op in s.pop("rows"):
+                f.write(f"{ms:.3f}\t{occ}\t{typ}\t{op}\n")
+        print(f"full op table -> {dump}")
     print(f"\n=== {label}: total device {s['total_ms'] / n_iters:.1f} ms "
           f"per call ({n_iters} calls traced) ===")
     print("by region (ms/call):")
@@ -117,7 +122,7 @@ def main():
             force_sync(d["x_hat"])
 
         profile_fn("decompress_interleaved (decode streams + synthesis)",
-                   run_dec)
+                   run_dec, dump=os.environ.get("DCAE_PROFILE_DUMP"))
 
 
 if __name__ == "__main__":
