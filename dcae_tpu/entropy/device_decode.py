@@ -147,6 +147,40 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
         [words.astype(jnp.uint32), jnp.zeros((K,), jnp.uint32)])
     u16mask = jnp.uint32(0xFFFF)
     lane_iota = jnp.arange(K, dtype=jnp.int32)
+    # two-level word select (round 4): the flat one-hot select is a
+    # K x K compare+where+reduce on the VPU every iteration (~1M element
+    # ops at K=1024). Splitting local = hi*32 + lo turns the heavy part
+    # into a (K, K/32) @ (K/32, 32) f32 MXU matmul (exact: u16 words and
+    # 0/1 weights are f32-representable, exactly one nonzero per row)
+    # and leaves only K x 32 VPU work. Falls back to the flat select for
+    # small K (tests use K down to 1).
+    import os
+    LO = 32
+    # Negative result, kept for the record (round 4): the two-level MXU
+    # select lost to the flat VPU compare-reduce by ~20-30 ms/batch-8 in
+    # BOTH alternating same-window A/B rounds (the tiny in-loop f32
+    # HIGHEST matmul pipelines worse than the K x K VPU pass). Default
+    # OFF; DCAE_IL_SELECT2=1 re-enables for experiments (read at TRACE
+    # time — flip it in a fresh process, the jit cache keys on statics).
+    two_level = (K >= 128 and K % LO == 0
+                 and os.environ.get("DCAE_IL_SELECT2", "0") == "1")
+    hi_iota = jnp.arange(K // LO, dtype=jnp.int32)
+    lo_iota = jnp.arange(LO, dtype=jnp.int32)
+
+    def _select_words(window, local):
+        if not two_level:
+            oh = local[:, None] == lane_iota[None, :]
+            return jnp.sum(jnp.where(oh, window[None, :], jnp.uint32(0)),
+                           axis=1)
+        hi = local // LO
+        lo = local % LO
+        oh_hi = (hi[:, None] == hi_iota[None, :]).astype(jnp.float32)
+        win2 = window.reshape(K // LO, LO).astype(jnp.float32)
+        rows = jax.lax.dot(oh_hi, win2,
+                           precision=jax.lax.Precision.HIGHEST)  # (K, LO)
+        picked = jnp.sum(
+            jnp.where(lo[:, None] == lo_iota[None, :], rows, 0.0), axis=1)
+        return picked.astype(jnp.uint32)
 
     def step(t, x, ptr, out):
         active = active_rows[t]
@@ -167,8 +201,7 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
         need_i = need.astype(jnp.int32)
         local = jnp.cumsum(need_i) - need_i  # in [0, K)
         window = jax.lax.dynamic_slice(words_u32, (ptr,), (K,))
-        oh = local[:, None] == lane_iota[None, :]
-        w = jnp.sum(jnp.where(oh, window[None, :], jnp.uint32(0)), axis=1)
+        w = _select_words(window, local)
         x2 = jnp.where(need, (x2 << jnp.uint32(16)) | w, x2)
         x = jnp.where(active, x2, x)
         out = jax.lax.dynamic_update_index_in_dim(
