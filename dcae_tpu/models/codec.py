@@ -168,7 +168,11 @@ class DCAECodec:
         # interleaved-profile escape patches: max out-of-table symbols a
         # slice may carry exactly (beyond -> EscapeError -> classic
         # fallback). Static so patch tensors never churn program shapes.
-        self.patch_cap = int(os.environ.get("DCAE_PATCH_CAP", "128"))
+        # default raised 128 -> 512 in round 4: low-rate trained
+        # checkpoints (narrow tables) escape more on hard content, and a
+        # patch costs 8 container bytes only when USED — losing the
+        # whole interleaved profile to overflow is the expensive outcome
+        self.patch_cap = int(os.environ.get("DCAE_PATCH_CAP", "512"))
         # staged encode by default (cross-program bit-agreement by
         # construction); self_check() upgrades to "split" (2 device calls)
         # or "fused" (1 device call) when the streams bit-match
