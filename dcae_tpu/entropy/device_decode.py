@@ -167,11 +167,35 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
     hi_iota = jnp.arange(K // LO, dtype=jnp.int32)
     lo_iota = jnp.arange(LO, dtype=jnp.int32)
 
-    def _select_words(window, local):
-        if not two_level:
-            oh = local[:, None] == lane_iota[None, :]
-            return jnp.sum(jnp.where(oh, window[None, :], jnp.uint32(0)),
-                           axis=1)
+    # Windowed select (round 4): the flat select compares every lane
+    # against all K window positions (3 VPU passes over K x K), but only
+    # ~bits/16 of lanes renorm per iteration (~4% at trained rates) — the
+    # consumed prefix nearly always fits in K/4 positions. The cheap path
+    # selects from the first WSEL positions (K x WSEL work); a lax.cond
+    # falls back to the full K x K select on the (astronomically rare at
+    # real rates, but possible) overflow step, preserving exactness.
+    # DCAE_IL_WINDOW=0 disables (read at trace time, like SELECT2).
+    WSEL = max(32, K // 4)
+    use_window = (K >= 128 and not two_level
+                  and os.environ.get("DCAE_IL_WINDOW", "1") == "1")
+    wsel_iota = jnp.arange(WSEL, dtype=jnp.int32)
+
+    def _select_flat(window, local):
+        oh = local[:, None] == lane_iota[None, :]
+        return jnp.sum(jnp.where(oh, window[None, :], jnp.uint32(0)),
+                       axis=1)
+
+    def _select_words(window, local, consumed):
+        if not two_level and not use_window:
+            return _select_flat(window, local)
+        if use_window:
+            return jax.lax.cond(
+                consumed > WSEL,
+                lambda w, l: _select_flat(w, l),
+                lambda w, l: jnp.sum(
+                    jnp.where(l[:, None] == wsel_iota[None, :],
+                              w[None, :WSEL], jnp.uint32(0)), axis=1),
+                window, local)
         hi = local // LO
         lo = local % LO
         oh_hi = (hi[:, None] == hi_iota[None, :]).astype(jnp.float32)
@@ -199,14 +223,15 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
         x2 = freq * (x >> jnp.uint32(16)) + delta
         need = (x2 < jnp.uint32(RANS_L16)) & active
         need_i = need.astype(jnp.int32)
-        local = jnp.cumsum(need_i) - need_i  # in [0, K)
+        cum = jnp.cumsum(need_i)
+        local = cum - need_i  # in [0, K)
         window = jax.lax.dynamic_slice(words_u32, (ptr,), (K,))
-        w = _select_words(window, local)
+        w = _select_words(window, local, cum[-1])
         x2 = jnp.where(need, (x2 << jnp.uint32(16)) | w, x2)
         x = jnp.where(active, x2, x)
         out = jax.lax.dynamic_update_index_in_dim(
             out, jnp.where(active, rec, 0), t, 0)
-        return x, ptr + jnp.sum(need_i), out
+        return x, ptr + cum[-1], out
 
     def body(i, carry):
         x, ptr, out = carry
