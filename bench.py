@@ -226,6 +226,11 @@ def main():
     codec.update(force=True)
     _RESULT["detail"] = {"weights": weights, "batch": batch,
                          "device": str(jax.devices()[0]),
+                         # corpus generation version: bpp/throughput rows in
+                         # BENCH_HISTORY are only comparable within one
+                         # corpus family (ADVICE r4) — structured-v2 is the
+                         # r4+ generator; rounds 1-3 used iid kron noise
+                         "corpus": "structured-v2",
                          "error": "bench did not reach a measurement"}
 
     images = synthetic_kodak(batch)
@@ -354,7 +359,12 @@ def main():
 
         Headline = MEDIAN of the winning deployable serving profile
         (classic vs interleaved device-decode, whichever's median is
-        higher); best-of kept in detail.
+        higher); best-of kept in detail. Bench contract (VERDICT r4 item
+        7): `classic_median_img_per_sec` and the interleaved/classic
+        same-window ratio are ALWAYS emitted at top level — the classic
+        median is the in-window contention normalizer, and the ratio's
+        observed range across driver/builder windows is 1.6-2.4x (it is
+        window-dependent, not a constant; BENCH_HISTORY.md).
         """
         med_c = n_images / float(np.median(pipe_times))
         det = {
@@ -365,11 +375,13 @@ def main():
             "rounds": len(pipe_times),
         }
         ips = med_c
+        _RESULT["classic_median_img_per_sec"] = round(med_c, 4)
         if pipe_il_times:
             med_il = n_images / float(np.median(pipe_il_times))
             interleaved["pipeline_img_per_sec"] = round(
                 n_images / min(pipe_il_times), 4)
             interleaved["pipeline_median_img_per_sec"] = round(med_il, 4)
+            _RESULT["interleaved_classic_ratio"] = round(med_il / med_c, 4)
             if med_il > med_c:
                 ips = med_il
                 det["profile"] = "interleaved_device_decode"
@@ -423,26 +435,45 @@ def main():
             print(f"# interleaved single-image metric skipped: {e}",
                   file=sys.stderr)
 
-    # single-image decode in the indexes-shipped (DCAE_6) profile: the
+    # single-image latency in the indexes-shipped (DCAE_6) profile: the
     # host rANS runs to completion upfront, so the whole channel-AR chain
     # + synthesis is ONE device program (DCAE.decode_all) — 1 dispatch
     # round trip instead of 6. Trades stream size (raw 6-bit indexes ride
-    # along) for latency; reported as a detail, not the headline.
+    # along) for latency. Measured as full enc+dec, not decode-only.
     single_dec_1trip_ms = -1.0  # best-effort: never risk the headline
+    single_1trip_ms = -1.0
     try:
         enc_i = codec.compress_with_indexes(images[:1])
         d1 = codec.decompress(enc_i["strings"], enc_i["shape"],
                               indexes=enc_i["indexes"])  # warm-up/compile
         force_sync(d1["x_hat"])
         t2 = time.perf_counter()
+        enc_i = codec.compress_with_indexes(images[:1])
+        t3 = time.perf_counter()
         d1 = codec.decompress(enc_i["strings"], enc_i["shape"],
                               indexes=enc_i["indexes"])
         force_sync(d1["x_hat"])
-        single_dec_1trip_ms = 1000 * (time.perf_counter() - t2)
+        single_dec_1trip_ms = 1000 * (time.perf_counter() - t3)
+        single_1trip_ms = 1000 * (time.perf_counter() - t2)
     except Exception as e:
         print(f"# 1-trip decode metric skipped: {e}", file=sys.stderr)
     _RESULT["detail"]["single_image_decode_1trip_ms"] = round(
         single_dec_1trip_ms, 1)
+    _RESULT["detail"]["single_image_1trip_ms"] = round(single_1trip_ms, 1)
+
+    # headline single-image latency = best deployable profile (classic
+    # 6-trip, interleaved device-decode, or indexes-shipped 1-trip); the
+    # reference bar is 193 ms enc+dec (assets/sota.PNG). Which profile won
+    # is recorded so the number stays auditable.
+    candidates = {"classic": single_ms}
+    if interleaved.get("single_image_ms"):
+        candidates["interleaved"] = interleaved["single_image_ms"]
+    if single_1trip_ms > 0:
+        candidates["indexes_1trip"] = single_1trip_ms
+    prof = min(candidates, key=candidates.get)
+    _RESULT["detail"]["single_image_ms"] = round(candidates[prof], 1)
+    _RESULT["detail"]["single_image_profile"] = prof
+    _RESULT["detail"]["single_image_classic_ms"] = round(single_ms, 1)
 
     update_headline()
     emit()

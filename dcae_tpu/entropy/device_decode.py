@@ -98,12 +98,37 @@ def row_offset_bcast(indexes: jax.Array, offsets: jax.Array) -> jax.Array:
         jnp.where(ge, jnp.diff(offsets)[None, :], 0), axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("lanes", "unroll", "paired"))
 def decode_interleaved(words: jax.Array, n_words: jax.Array,
                        states: jax.Array, indexes: jax.Array,
                        lut_sym: jax.Array, lut_df: jax.Array,
                        lanes: int, unroll: int = 1, paired: bool = False
                        ) -> Tuple[jax.Array, jax.Array]:
+    """Env-flag resolving wrapper: the word-select VARIANT knobs
+    (DCAE_IL_SELECT2 / DCAE_IL_WINDOW) are part of the jit cache key, so
+    flipping the env mid-process retraces instead of silently no-oping
+    (ADVICE r4). The variants are NOT recorded in the DTI1 container —
+    unlike lanes/unroll/paired they do not change the stream format or
+    the decoded bits: INVARIANT (load-bearing): every select variant
+    must be exact-integer-equivalent to `_select_flat`; a variant that
+    is only approximately equal would silently break cross-process
+    encode/decode agreement, so it must instead become a certified,
+    container-recorded knob like unroll/paired."""
+    import os
+    select2 = os.environ.get("DCAE_IL_SELECT2", "0") == "1"
+    window = os.environ.get("DCAE_IL_WINDOW", "1") == "1"
+    return _decode_interleaved(words, n_words, states, indexes, lut_sym,
+                               lut_df, lanes, unroll, paired, select2,
+                               window)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lanes", "unroll", "paired", "select2", "window"))
+def _decode_interleaved(words: jax.Array, n_words: jax.Array,
+                        states: jax.Array, indexes: jax.Array,
+                        lut_sym: jax.Array, lut_df: jax.Array,
+                        lanes: int, unroll: int = 1, paired: bool = False,
+                        select2: bool = False, window: bool = True
+                        ) -> Tuple[jax.Array, jax.Array]:
     """Decode `indexes.shape[0]` symbols from the interleaved stream.
 
     words: (W,) uint16 (W >= n_words; padding ignored); n_words: scalar
@@ -154,16 +179,14 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
     # 0/1 weights are f32-representable, exactly one nonzero per row)
     # and leaves only K x 32 VPU work. Falls back to the flat select for
     # small K (tests use K down to 1).
-    import os
     LO = 32
     # Negative result, kept for the record (round 4): the two-level MXU
     # select lost to the flat VPU compare-reduce by ~20-30 ms/batch-8 in
     # BOTH alternating same-window A/B rounds (the tiny in-loop f32
     # HIGHEST matmul pipelines worse than the K x K VPU pass). Default
-    # OFF; DCAE_IL_SELECT2=1 re-enables for experiments (read at TRACE
-    # time — flip it in a fresh process, the jit cache keys on statics).
-    two_level = (K >= 128 and K % LO == 0
-                 and os.environ.get("DCAE_IL_SELECT2", "0") == "1")
+    # OFF; DCAE_IL_SELECT2=1 re-enables for experiments (a static jit
+    # arg via the wrapper above, so env flips retrace).
+    two_level = K >= 128 and K % LO == 0 and select2
     hi_iota = jnp.arange(K // LO, dtype=jnp.int32)
     lo_iota = jnp.arange(LO, dtype=jnp.int32)
 
@@ -174,10 +197,9 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
     # selects from the first WSEL positions (K x WSEL work); a lax.cond
     # falls back to the full K x K select on the (astronomically rare at
     # real rates, but possible) overflow step, preserving exactness.
-    # DCAE_IL_WINDOW=0 disables (read at trace time, like SELECT2).
+    # DCAE_IL_WINDOW=0 disables (a static jit arg, like SELECT2).
     WSEL = max(32, K // 4)
-    use_window = (K >= 128 and not two_level
-                  and os.environ.get("DCAE_IL_WINDOW", "1") == "1")
+    use_window = K >= 128 and not two_level and window
     wsel_iota = jnp.arange(WSEL, dtype=jnp.int32)
 
     def _select_flat(window, local):

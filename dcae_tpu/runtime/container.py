@@ -83,10 +83,20 @@ def read_bin(path: str, p: int = 128, z_downsample: int = 64):
 # bucket is the certified word-buffer width of compress_device (0 = none,
 # host-encoded stream): the decoder pads its per-slice word arrays to this
 # width so it runs the exact executable the certification replayed
-# (models/codec.py compress_device/_certify_encode). The field's top 8
-# bits carry the certified decode-loop UNROLL (0 = unspecified, legacy
-# containers / host-encoded streams) — the other static knob of the
-# decode executable's shape; the low 24 bits are the bucket itself.
+# (models/codec.py compress_device/_certify_encode). The field's top byte
+# carries the certified decode-loop UNROLL in bits 24-30 (0 = unspecified,
+# legacy containers / host-encoded streams) and the paired-slot-LUT flag
+# in bit 31; the low 24 bits are the bucket itself.
+#
+# Format-history note (ADVICE r4): the unroll field was 8 bits (24-31)
+# before the paired flag claimed bit 31. No writer ever emitted unroll
+# outside {0, 1, 2, 4} (the certified values models/codec.py accepts are
+# small powers of two; the packer has always defaulted to 1-4), so no
+# pre-paired blob can have bit 31 set and the narrowing is
+# backward-compatible in practice. To keep a corrupt/foreign blob from
+# silently misparsing, the unpacker now REJECTS unroll values that no
+# writer version ever produced (must be a power of two <= 64) with a
+# format hint instead of handing the decoder a wrong executable shape.
 #
 # Patches are the (rare) Gaussian-tail symbols the stream carries clamped
 # into their CDF row's in-range buckets; the decoder scatters the exact
@@ -143,6 +153,11 @@ def unpack_bin_interleaved(data: bytes, p: int = 128,
     bucket = bucket_field & 0xFFFFFF
     unroll = (bucket_field >> 24) & 0x7F
     paired = bool(bucket_field >> 31)
+    if unroll not in (0, 1, 2, 4, 8, 16, 32, 64):
+        raise ValueError(
+            f"DTI1 unroll field {unroll} was never produced by any writer "
+            "(certified unrolls are small powers of two); the blob is "
+            "corrupt or from an incompatible format revision")
     off = 15
     streams: List[bytes] = []
     states = []

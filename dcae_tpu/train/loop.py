@@ -62,10 +62,22 @@ class TrainOptions:
     val_real_images: int = 4
     # adaptive aux-LR (ref ExponentialTargetScheduler, train_5.py:3029-3067):
     # drive the quantile loss to aux_target_loss by the end of training,
-    # retuning the aux Adam LR every epoch. Off by default (plain Adam at
-    # aux_learning_rate also converges — docs/TRAIN_VALIDATION.md).
-    aux_scheduler: bool = False
+    # retuning the aux Adam LR every epoch. None = auto: ON for full-size
+    # configs (where the quantile loss starts ~7900 and plain Adam at
+    # aux_learning_rate barely moves it — docs/TRAIN_VALIDATION.md r4),
+    # OFF for tiny test configs (aux starts ~660 and plain Adam converges).
+    # True/False force it either way.
+    aux_scheduler: Optional[bool] = None
     aux_target_loss: float = 10.0
+
+
+def resolve_aux_scheduler(opts: "TrainOptions", cfg: DCAEConfig) -> bool:
+    """Auto default documented in docs/TRAIN_VALIDATION.md: scheduled aux
+    LR for full-size configs, plain Adam for tiny ones (ref
+    ExponentialTargetScheduler, /root/reference/train_5.py:3029-3067)."""
+    if opts.aux_scheduler is not None:
+        return opts.aux_scheduler
+    return cfg.N >= 64
 
 
 def validate_real(cfg: DCAEConfig, state, test_ds, n_images: int
@@ -160,6 +172,10 @@ def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
     bshard = pmesh.batch_sharding(device_mesh)
 
     aux_sched = None  # built lazily from the first epoch's measured aux loss
+    aux_sched_on = resolve_aux_scheduler(opts, cfg)
+    if opts.aux_scheduler is None:
+        print(f"aux_scheduler auto -> {'on' if aux_sched_on else 'off'} "
+              f"(N={cfg.N})")
 
     for epoch in range(last_epoch, opts.epochs):
         t0 = time.time()
@@ -193,7 +209,7 @@ def run_training(opts: TrainOptions, cfg: Optional[DCAEConfig] = None):
         print(f"epoch {epoch}: test loss {test_loss:.4f} "
               f"({time.time() - t0:.0f}s)")
 
-        if opts.aux_scheduler and meters["aux_loss"].count:
+        if aux_sched_on and meters["aux_loss"].count:
             from dcae_tpu.train.state import (ExponentialTargetScheduler,
                                               set_aux_lr)
             aux_now = meters["aux_loss"].avg

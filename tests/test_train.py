@@ -192,6 +192,22 @@ class TestAuxScheduler:
         lr, mult = s.step(expected * 1.2, 1e-4, 30)
         assert 100 <= mult <= 500
 
+    def test_default_resolution_matches_docs(self):
+        # docs/TRAIN_VALIDATION.md: "the default flips to scheduled for
+        # full-size runs" — the auto default must be ON at full size and
+        # OFF for tiny configs, with explicit True/False always winning.
+        from dcae_tpu.config import DCAEConfig
+        from dcae_tpu.train.loop import TrainOptions, resolve_aux_scheduler
+        opts = TrainOptions(dataset="/nonexistent")
+        assert opts.aux_scheduler is None
+        assert resolve_aux_scheduler(opts, DCAEConfig()) is True
+        assert resolve_aux_scheduler(opts, DCAEConfig.tiny()) is False
+        import dataclasses
+        forced_off = dataclasses.replace(opts, aux_scheduler=False)
+        assert resolve_aux_scheduler(forced_off, DCAEConfig()) is False
+        forced_on = dataclasses.replace(opts, aux_scheduler=True)
+        assert resolve_aux_scheduler(forced_on, DCAEConfig.tiny()) is True
+
     def test_set_get_aux_lr(self, setup):
         from dcae_tpu.train.state import get_aux_lr, set_aux_lr
         _, _, params, _ = setup

@@ -155,6 +155,7 @@ def main(argv=None):
     tot = {"psnr": 0.0, "msssim": 0.0, "ratio": 0.0,
            "enc": 0.0, "xfer": 0.0, "dec": 0.0}
     count = 0
+    msssim_count = 0
     analysis_done = False
     paths = list_images(a.data)
     if not paths:
@@ -198,7 +199,12 @@ def main(argv=None):
 
         count += 1
         tot["psnr"] += p_db
-        tot["msssim"] += 0.0 if math.isnan(ms_db) else ms_db
+        if not math.isnan(ms_db):
+            # images below the 5-scale MS-SSIM minimum are excluded from
+            # BOTH numerator and denominator (ADVICE r4: counting them as
+            # 0.0 deflated the average)
+            tot["msssim"] += ms_db
+            msssim_count += 1
         tot["ratio"] += ratio
         if not warm:
             tot["enc"] += t1 - t0
@@ -228,7 +234,10 @@ def main(argv=None):
     lines = [
         f"Total images processed: {count}",
         f"Average PSNR: {tot['psnr'] / count:.2f} dB",
-        f"Average MS-SSIM: {tot['msssim'] / count:.4f} dB",
+        f"Average MS-SSIM: "
+        f"{tot['msssim'] / max(msssim_count, 1):.4f} dB"
+        + (f" (over {msssim_count}/{count} images large enough for "
+           f"5-scale MS-SSIM)" if msssim_count != count else ""),
         f"Average Compression Ratio: {tot['ratio'] / count:.2f}",
         f"Average encode time per image: "
         f"{1000 * tot['enc'] / timed:.3f} ms",

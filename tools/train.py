@@ -50,9 +50,13 @@ def parse_args(argv):
                         "fine-tuning, ref train_fine_tune.py)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config (smoke tests)")
-    p.add_argument("--aux_scheduler", action="store_true",
+    p.add_argument("--aux_scheduler", action="store_true", default=None,
                    help="adaptive aux-LR targeting (ref "
-                        "ExponentialTargetScheduler, train_5.py:3029)")
+                        "ExponentialTargetScheduler, train_5.py:3029); "
+                        "default auto: on for full-size configs, off for "
+                        "--tiny (docs/TRAIN_VALIDATION.md)")
+    p.add_argument("--no-aux_scheduler", dest="aux_scheduler",
+                   action="store_false", help="force plain aux Adam")
     p.add_argument("--aux_target_loss", type=float, default=10.0)
     p.add_argument("--precision_reg", type=float, default=0.0,
                    help="cross-device precision regularization weight "

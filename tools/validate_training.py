@@ -80,10 +80,12 @@ def main():
                     help="full-size model (default: tiny config)")
     ap.add_argument("--n-train", type=int, default=200)
     ap.add_argument("--precision-reg", type=float, default=0.0)
-    ap.add_argument("--aux_scheduler", action="store_true",
+    ap.add_argument("--aux_scheduler", action="store_true", default=None,
                     help="adaptive aux LR (ref ExponentialTargetScheduler, "
-                         "train_5.py:3029-3067) — VERDICT r3 item 5 asks "
-                         "for full-size validation of this path")
+                         "train_5.py:3029-3067); default auto: on for "
+                         "--full, off for tiny")
+    ap.add_argument("--no-aux_scheduler", dest="aux_scheduler",
+                    action="store_false", help="force plain aux Adam")
     ap.add_argument("--checkpoint", default=None,
                     help="resume training from this checkpoint")
     args = ap.parse_args()
