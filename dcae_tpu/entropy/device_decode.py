@@ -116,19 +116,43 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
     import os
     select2 = os.environ.get("DCAE_IL_SELECT2", "0") == "1"
     window = os.environ.get("DCAE_IL_WINDOW", "1") == "1"
+    syms, ok, _ = _decode_interleaved(words, n_words, states, indexes,
+                                      lut_sym, lut_df, lanes, unroll,
+                                      paired, select2, window)
+    return syms, ok
+
+
+def decode_interleaved_chain(words: jax.Array, n_words: jax.Array,
+                             states: jax.Array, indexes: jax.Array,
+                             lut_sym: jax.Array, lut_df: jax.Array,
+                             lanes: int, unroll: int = 1,
+                             paired: bool = False
+                             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One CHAINED slice decode: like decode_interleaved, but the lane
+    states thread across consecutive streams (round-5 format: ONE K-lane
+    set spans all slices, so the header is K states instead of S*K —
+    the interleaved profile's rate tax drops 5x, VERDICT r4 item 2).
+    `ok` here checks stream consumption only; the caller verifies the
+    returned final states equal the 2^16 base AFTER the LAST slice
+    (the end-to-end checksum moves to the end of the chain).
+    Returns (symbols, ok_stream, final_states)."""
+    import os
+    select2 = os.environ.get("DCAE_IL_SELECT2", "0") == "1"
+    window = os.environ.get("DCAE_IL_WINDOW", "1") == "1"
     return _decode_interleaved(words, n_words, states, indexes, lut_sym,
                                lut_df, lanes, unroll, paired, select2,
-                               window)
+                               window, check_base=False)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "lanes", "unroll", "paired", "select2", "window"))
+    "lanes", "unroll", "paired", "select2", "window", "check_base"))
 def _decode_interleaved(words: jax.Array, n_words: jax.Array,
                         states: jax.Array, indexes: jax.Array,
                         lut_sym: jax.Array, lut_df: jax.Array,
                         lanes: int, unroll: int = 1, paired: bool = False,
-                        select2: bool = False, window: bool = True
-                        ) -> Tuple[jax.Array, jax.Array]:
+                        select2: bool = False, window: bool = True,
+                        check_base: bool = True
+                        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Decode `indexes.shape[0]` symbols from the interleaved stream.
 
     words: (W,) uint16 (W >= n_words; padding ignored); n_words: scalar
@@ -265,14 +289,15 @@ def _decode_interleaved(words: jax.Array, n_words: jax.Array,
     out0 = jnp.zeros((Tp, K), jnp.int32)
     x, ptr, out = jax.lax.fori_loop(0, Tp // U, body,
                                     (x0, jnp.int32(0), out0))
-    ok = (ptr == n_words.astype(jnp.int32)) \
-        & jnp.all(x == jnp.uint32(RANS_L16))
+    ok = ptr == n_words.astype(jnp.int32)
+    if check_base:
+        ok = ok & jnp.all(x == jnp.uint32(RANS_L16))
     rec = out.reshape(-1)[:n]
     if paired:
         syms = rec + row_offset_bcast(indexes.astype(jnp.int32), lut_sym)
     else:
         syms = lut_sym[indexes.astype(jnp.int32) * SLOTS + rec]
-    return syms, ok
+    return syms, ok, x
 
 
 def build_enc_tables(cdfs, cdf_lengths, offsets
@@ -353,12 +378,19 @@ def encode_interleaved_device(symbols: jax.Array, indexes: jax.Array,
 
 
 def _encode_core(pos_c: jax.Array, idx1: jax.Array, in_range: jax.Array,
-                 enc_sf: jax.Array, stride: int, K: int, U: int):
+                 enc_sf: jax.Array, stride: int, K: int, U: int,
+                 init_states: jax.Array = None):
     """encode_interleaved_device's engine, taking PRE-CLAMPED bucket
     positions and a row-validity mask so batch callers
     (encode_slices_with_patches) that already gathered the per-symbol
     offset/maxpos tables for clamping don't pay those 3.9M-element
-    gathers twice (each costs ~29 ms/batch-8; see docs/PERF.md)."""
+    gathers twice (each costs ~29 ms/batch-8; see docs/PERF.md).
+
+    init_states (K,) uint32: lane states to start from — the chained
+    format (one lane set spanning all slices) feeds slice s+1's final
+    encode states in as slice s's initial states; None = the 2^16 base
+    (the classic per-slice format, and the LAST-encoded slice of a
+    chain)."""
     n = idx1.shape[0]
     T = -(-n // K)
     Tp = -(-T // U) * U
@@ -407,7 +439,8 @@ def _encode_core(pos_c: jax.Array, idx1: jax.Array, in_range: jax.Array,
             x, wbuf = step(Tp - 1 - (i * U + s), x, wbuf)
         return x, wbuf
 
-    x0 = jnp.full((K,), jnp.uint32(RANS_L16))
+    x0 = (jnp.full((K,), jnp.uint32(RANS_L16)) if init_states is None
+          else init_states.astype(jnp.uint32))
     wbuf0 = jnp.full((Tp, K), -1, jnp.int32)
     x, wbuf = jax.lax.fori_loop(0, Tp // U, body, (x0, wbuf0))
     # assemble the stream: the loop ran t = Tp-1 .. 0 and (matching the
@@ -426,7 +459,8 @@ def _encode_core(pos_c: jax.Array, idx1: jax.Array, in_range: jax.Array,
 def encode_slices_with_patches(y_syms: jax.Array, idxs: jax.Array,
                                enc_sf: jax.Array, offsets: jax.Array,
                                maxpos: jax.Array, stride: int, lanes: int,
-                               unroll: int, patch_cap: int) -> dict:
+                               unroll: int, patch_cap: int,
+                               chain: bool = False) -> dict:
     """Per-slice interleaved rANS encode with the escape-patch side
     channel (shared by DCAE.encode_device_streams and the certified
     re-encode in models/codec.py).
@@ -437,7 +471,17 @@ def encode_slices_with_patches(y_syms: jax.Array, idxs: jax.Array,
     clamped position rides the (pos, val) patch list, <= patch_cap
     entries per slice (patch_overflow set beyond — caller falls back to
     the classic format). escape fires only for rows with no in-range
-    buckets at all."""
+    buckets at all.
+
+    chain=True (round-5 default format): ONE K-lane state set spans all
+    S slices — slices encode in REVERSE order (s = S-1 .. 0), each
+    starting from the next slice's final states; the returned "states"
+    is the single (K,) decode-start vector (after slice 0), and the
+    header rate cost drops S-fold (VERDICT r4 item 2). The per-slice
+    encode loops then run sequentially instead of vmapped (the decode
+    side was always slice-sequential — channel-AR context); same-window
+    A/B of the cost is in docs/PERF.md round 5. chain=False keeps the
+    legacy per-slice (S, K) states (DTI1 containers)."""
     S = y_syms.shape[0]
     n = y_syms[0].size
     sym2 = y_syms.reshape(S, -1).astype(jnp.int32)
@@ -487,15 +531,30 @@ def encode_slices_with_patches(y_syms: jax.Array, idxs: jax.Array,
         ppos.append(pos)
         pval.append(val)
 
-    # vmap over slices: all S sequential encode loops advance in ONE
-    # fori_loop (S*K lanes of vector work per iteration instead of K),
-    # amortizing the per-iteration loop overhead S-fold; the clamped
-    # bucket positions feed the core directly (the clip above already
-    # bounds them by maxpos-1 <= stride-1, and mp > 0 is row validity)
-    words, n_words, states, escs = jax.vmap(
-        lambda pc, ix, ok: _encode_core(pc, ix, ok, enc_sf, stride,
-                                        K=lanes, U=max(1, int(unroll)))
-    )(pos_cl, idx2, mp > 0)
+    if chain:
+        # chained: slice s starts from slice s+1's final states, so the
+        # S loops are strictly sequential (encode order S-1 .. 0)
+        w_l, nw_l, esc_l = [None] * S, [None] * S, [None] * S
+        st = None
+        for s in reversed(range(S)):
+            w_l[s], nw_l[s], st, esc_l[s] = _encode_core(
+                pos_cl[s], idx2[s], (mp > 0)[s], enc_sf, stride,
+                K=lanes, U=max(1, int(unroll)), init_states=st)
+        words = jnp.stack(w_l)
+        n_words = jnp.stack(nw_l)
+        states = st  # (K,): the decode-start states (after slice 0)
+        escs = jnp.stack(esc_l)
+    else:
+        # vmap over slices: all S sequential encode loops advance in ONE
+        # fori_loop (S*K lanes of vector work per iteration instead of
+        # K), amortizing the per-iteration loop overhead S-fold; the
+        # clamped bucket positions feed the core directly (the clip
+        # above already bounds them by maxpos-1 <= stride-1, and mp > 0
+        # is row validity)
+        words, n_words, states, escs = jax.vmap(
+            lambda pc, ix, ok: _encode_core(pc, ix, ok, enc_sf, stride,
+                                            K=lanes, U=max(1, int(unroll)))
+        )(pos_cl, idx2, mp > 0)
     return {
         "words": words,
         "n_words": n_words,

@@ -107,13 +107,13 @@ def _load() -> ctypes.CDLL:
             i32p, i32p, ctypes.c_int64,
             i32p, ctypes.c_int64, ctypes.c_int64,
             i32p, i32p, ctypes.c_int32,
-            u16p, ctypes.c_int64, u32p,
+            u16p, ctypes.c_int64, u32p, u32p,
         ]
         lib.dcae_rans_decode_interleaved.restype = ctypes.c_int32
         lib.dcae_rans_decode_interleaved.argtypes = [
             u16p, ctypes.c_int64, u32p, i32p, ctypes.c_int64,
             i32p, ctypes.c_int64, ctypes.c_int64,
-            i32p, i32p, ctypes.c_int32, i32p,
+            i32p, i32p, ctypes.c_int32, i32p, u32p, ctypes.c_int32,
         ]
         _lib = lib
         return _lib
@@ -329,7 +329,8 @@ class EscapeError(ValueError):
 
 
 def encode_interleaved(symbols, indexes, cdfs, cdf_lengths, offsets,
-                       lanes: int) -> tuple[bytes, np.ndarray]:
+                       lanes: int, init_states=None
+                       ) -> tuple[bytes, np.ndarray]:
     """K-lane interleaved rANS encode (device-decodable profile).
 
     uint32 lane states, 16-bit renorm words, strict round-robin symbol
@@ -337,7 +338,12 @@ def encode_interleaved(symbols, indexes, cdfs, cdf_lengths, offsets,
     states are the decode-START states. Raises EscapeError when a symbol
     falls outside its row's in-range buckets (caller falls back to the
     classic format). See native/rans.cpp dcae_rans_encode_interleaved and
-    dcae_tpu/entropy/device_decode.py for the decoder."""
+    dcae_tpu/entropy/device_decode.py for the decoder.
+
+    init_states (K,) uint32: start the lanes from these states instead of
+    the 2^16 base — the CHAINED format encodes slice s+1 first and feeds
+    its final states here when encoding slice s (one lane set spans all
+    slices; header 5x smaller)."""
     lib = _load()
     symbols = _as_i32(symbols)
     indexes = _as_i32(indexes)
@@ -348,12 +354,20 @@ def encode_interleaved(symbols, indexes, cdfs, cdf_lengths, offsets,
     states = np.empty(lanes, dtype=np.uint32)
     capacity = 2 * n + lanes + 64  # words; <=1 renorm word per symbol
     out = np.empty(capacity, dtype=np.uint16)
+    init_p = None
+    if init_states is not None:
+        init_states = np.ascontiguousarray(np.asarray(init_states),
+                                           dtype=np.uint32)
+        if init_states.size != lanes:
+            raise ValueError("init_states must have `lanes` entries")
+        init_p = init_states.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint32))
     written = lib.dcae_rans_encode_interleaved(
         _i32p(symbols), _i32p(indexes), n,
         _i32p(cdfs), cdfs.shape[0], cdfs.shape[1],
         _i32p(cdf_lengths), _i32p(offsets), lanes,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), capacity,
-        states.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        states.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), init_p,
     )
     if written == -3:
         raise EscapeError("symbol outside in-range CDF buckets")
@@ -363,10 +377,16 @@ def encode_interleaved(symbols, indexes, cdfs, cdf_lengths, offsets,
 
 
 def decode_interleaved_ref(stream: bytes, states, indexes, cdfs,
-                           cdf_lengths, offsets, lanes: int) -> np.ndarray:
+                           cdf_lengths, offsets, lanes: int,
+                           return_states: bool = False):
     """C++ reference decoder for the interleaved profile (tests + host
     fallback); the production decoder runs on-device
-    (entropy/device_decode.py)."""
+    (entropy/device_decode.py).
+
+    return_states=True: decode an INTERMEDIATE slice of the chained
+    format — skip the base-state checksum (it applies only after the
+    chain's last slice) and return (symbols, final_states) so the caller
+    threads the states into the next slice."""
     lib = _load()
     indexes = _as_i32(indexes)
     cdfs, cdf_lengths, offsets = _check_tables(cdfs, cdf_lengths, offsets)
@@ -376,13 +396,18 @@ def decode_interleaved_ref(stream: bytes, states, indexes, cdfs,
     if states.size != lanes:
         raise ValueError("states must have `lanes` entries")
     out = np.empty(indexes.size, dtype=np.int32)
+    fin = np.empty(lanes, dtype=np.uint32)
     rc = lib.dcae_rans_decode_interleaved(
         words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), words.size,
         states.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         _i32p(indexes), indexes.size,
         _i32p(cdfs), cdfs.shape[0], cdfs.shape[1],
         _i32p(cdf_lengths), _i32p(offsets), lanes, _i32p(out),
+        fin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        0 if return_states else 1,
     )
     if rc != 0:
         raise ValueError(f"interleaved rANS decode failed (rc={rc})")
+    if return_states:
+        return out, fin
     return out

@@ -267,37 +267,38 @@ class DCAECodec:
                 {"params": p}, z_hat, symbols, method=DCAE.decode_all))
         def _dec_streams_fn(p, z_hat, words, n_words, states, ppos, pval,
                             override, true_syms, lsym, lsf, st, unroll,
-                            paired):
+                            paired, chained):
             return model.apply(
                 {"params": p}, z_hat, words, n_words, states, ppos, pval,
-                override, true_syms, lsym, lsf, st, unroll, paired,
+                override, true_syms, lsym, lsf, st, unroll, paired, chained,
                 method=DCAE.decode_device_streams)
 
         # ONE jit for decoder AND certified-encode replay: executable
         # identity is what makes the replayed index chain the decoder's
         # (override is a traced input, never a static arg)
         self._decode_streams = jax.jit(_dec_streams_fn,
-                                       static_argnums=(12, 13))
+                                       static_argnums=(12, 13, 14))
 
         def _reencode_fn(y_syms, rawidx, enc_sf, offs, maxpos, stride,
-                         lanes, unroll, patch_cap):
+                         lanes, unroll, patch_cap, chain):
             from dcae_tpu.entropy.device_decode import (
                 encode_slices_with_patches)
             return encode_slices_with_patches(
                 y_syms, rawidx, enc_sf, offs, maxpos, stride, lanes,
-                unroll, patch_cap)
+                unroll, patch_cap, chain=chain)
 
-        self._reencode = jax.jit(_reencode_fn, static_argnums=(5, 6, 7, 8))
+        self._reencode = jax.jit(_reencode_fn,
+                                 static_argnums=(5, 6, 7, 8, 9))
 
         def _enc_streams_fn(p, x, st, enc_sf, offs, maxpos, stride, lanes,
-                            unroll, patch_cap):
+                            unroll, patch_cap, chain):
             return model.apply(
                 {"params": p}, _norm(x), st, enc_sf, offs, maxpos, stride,
-                lanes, unroll, patch_cap,
+                lanes, unroll, patch_cap, chain,
                 method=DCAE.encode_device_streams)
 
         self._encode_streams = jax.jit(_enc_streams_fn,
-                                       static_argnums=(6, 7, 8, 9))
+                                       static_argnums=(6, 7, 8, 9, 10))
         self._synthesis = jax.jit(
             lambda p, y_hat: model.apply(
                 {"params": p}, y_hat, method=DCAE.decode_synthesis))
@@ -655,10 +656,14 @@ class DCAECodec:
         # value ships in the container so decoders run the certified
         # executable shape.
         unroll = int(os.environ.get("DCAE_IL_UNROLL", "2"))
+        # chained lane set (round 5, default): ONE K-lane state vector
+        # spans all slices — the header drops from S*K to K uint32
+        # (the interleaved profile's bpp tax falls 5x; VERDICT r4 item 2)
+        chain = os.environ.get("DCAE_IL_CHAIN", "1") == "1"
         cap = n_slice + 1  # encode word-buffer width (<=1 word/symbol)
         if os.environ.get("DCAE_IL_CERTIFY", "1") == "0":
             return {"_sync": self._compress_device_uncertified(
-                x, K, unroll, enc_sf, offs, maxpos, stride, cap)}
+                x, K, unroll, enc_sf, offs, maxpos, stride, cap, chain)}
         y, z_narrow, z_hat = self._analyze(self.params, x)
         # cap-relative stream-length buckets (cap/16, cap/8, ...) so rate
         # jitter between batches cannot churn slice-program recompiles;
@@ -666,14 +671,15 @@ class DCAECodec:
         bucket = self._il_bucket.get((cap, K),
                                      _len_bucket(max(1, cap // 8), cap))
         res = self._dispatch_replay_reencode(
-            y, z_hat, bucket, cap, K, unroll, enc_sf, offs, maxpos, stride)
+            y, z_hat, bucket, cap, K, unroll, enc_sf, offs, maxpos, stride,
+            chain)
         return {"y": y, "z_narrow": z_narrow, "z_hat": z_hat, "res": res,
                 "bucket": bucket, "cap": cap, "K": K, "unroll": unroll,
-                "luts": (enc_sf, offs, maxpos, stride)}
+                "chain": chain, "luts": (enc_sf, offs, maxpos, stride)}
 
     def _dispatch_replay_reencode(self, y, z_hat, bucket: int, cap: int,
                                   K: int, unroll: int, enc_sf, offs,
-                                  maxpos, stride: int) -> dict:
+                                  maxpos, stride: int, chain: bool) -> dict:
         """Queue the certified replay (the decoder's own executable,
         teacher-forced with y) and the re-encode program at the given
         word bucket; no host sync."""
@@ -683,14 +689,15 @@ class DCAECodec:
         dummy_ppos = jnp.full((S, P), cap - 1, jnp.int32)
         dummy_pval = jnp.zeros((S, P), jnp.int32)
         dummy_nw = jnp.zeros((S,), jnp.int32)
-        dummy_states = jnp.full((S, K), 1 << 16, jnp.uint32)
+        dummy_states = jnp.full((K,) if chain else (S, K), 1 << 16,
+                                jnp.uint32)
         dwords = jnp.zeros((S, bucket), jnp.uint16)
         _, _, rawidx, syms = self._decode_streams(
             self.params, z_hat, dwords, dummy_nw, dummy_states,
             dummy_ppos, dummy_pval, np.bool_(True), y,
-            lsym, lsf, self._st(), unroll, self._slot_paired)
+            lsym, lsf, self._st(), unroll, self._slot_paired, chain)
         return self._reencode(syms, rawidx, enc_sf, offs, maxpos,
-                              stride, K, unroll, P)
+                              stride, K, unroll, P, chain)
 
     def _compress_device_fetch(self, pend: dict) -> dict:
         """Phase 2 of compress_device: ONE host sync for everything the
@@ -702,6 +709,7 @@ class DCAECodec:
             return pend["_sync"]
         z_narrow = pend["z_narrow"]
         cap, K, unroll = pend["cap"], pend["K"], pend["unroll"]
+        chain = pend["chain"]
         enc_sf, offs, maxpos, stride = pend["luts"]
         bucket, res = pend["bucket"], pend["res"]
         S = self.cfg.num_slices
@@ -718,7 +726,7 @@ class DCAECodec:
             bucket = b2
             res = self._dispatch_replay_reencode(
                 pend["y"], pend["z_hat"], bucket, cap, K, unroll,
-                enc_sf, offs, maxpos, stride)
+                enc_sf, offs, maxpos, stride, chain)
         else:
             raise rans.EscapeError(
                 "certified encode: word bucket did not reach a fixed point")
@@ -754,6 +762,9 @@ class DCAECodec:
             # ... and the slot-LUT layout (paired df+pos vs classic),
             # the third static knob of the certified executable shape
             "paired": self._slot_paired,
+            # chained lane set: states is (K,) spanning all slices (the
+            # fourth static knob; rides the container as the DTI2 layout)
+            "chained": chain,
             "z_strings": z_strings,
             "shape": (z_sym.shape[1], z_sym.shape[2]),
             "lanes": K,
@@ -761,7 +772,7 @@ class DCAECodec:
 
     def _compress_device_uncertified(self, x, K: int, unroll: int,
                                      enc_sf, offs, maxpos, stride: int,
-                                     cap: int) -> dict:
+                                     cap: int, chain: bool = False) -> dict:
         """DCAE_IL_CERTIFY=0 path: one fused device program computes the
         symbol/index chain AND emits the streams (encode_device_streams) —
         bit-identical to the host encoder (compress_interleaved), but the
@@ -769,7 +780,7 @@ class DCAECodec:
         boundary-sitting sigmas break across programs (docs/PERF.md)."""
         out = self._encode_streams(self.params, x, self._st(), enc_sf,
                                    offs, maxpos, stride, K, unroll,
-                                   self.patch_cap)
+                                   self.patch_cap, chain)
         (n_words, escape, z8, zover, states, poverflow, ppos, pval,
          pcnt) = jax.device_get(
             (out["n_words"], out["escape"], out["z_symbols8"],
@@ -798,6 +809,7 @@ class DCAECodec:
             "patches": patches,
             "bucket": bucket,
             "unroll": unroll,
+            "chained": chain,
             "z_strings": z_strings,
             "shape": (z_sym.shape[1], z_sym.shape[2]),
             "lanes": K,
@@ -815,11 +827,14 @@ class DCAECodec:
         rans.EscapeError only on patch-list overflow or a row with no
         in-range buckets (callers fall back to classic compress).
 
-        Payload overhead vs classic: the K uint32 lane states per slice
-        (auto K keeps it ≲4% at trained rates) + 8 bytes per (rare)
-        escape patch."""
+        Payload overhead vs classic: ONE K-uint32 lane-state header for
+        the whole chain (round 5: slices share one lane set, encoded in
+        reverse slice order — ~2-3% at trained rates vs the old per-slice
+        headers' ~15%) + 8 bytes per (rare) escape patch.
+        DCAE_IL_CHAIN=0 reverts to per-slice lane sets (DTI1 layout)."""
         t = self._require_tables()
         x = self._as_input(x)
+        chain = os.environ.get("DCAE_IL_CHAIN", "1") == "1"
         if self.encode_mode == "fused":
             out = dict(self._encode(self.params, x, self._st()))
         else:
@@ -835,7 +850,7 @@ class DCAECodec:
         row_off = np.asarray(g.offset, np.int32)
         row_mp = np.asarray(g.cdf_length, np.int32) - 2  # in-range buckets
 
-        def encode_slice(s: int):
+        def clamp_slice(s: int):
             sym = y_sym[s].reshape(-1).astype(np.int32)
             idx = y_idx[s].reshape(-1)
             offs = row_off[idx]
@@ -847,15 +862,34 @@ class DCAECodec:
                 raise rans.EscapeError(
                     f"escape patch list overflow (> {self.patch_cap}"
                     "/slice)")
-            stream, states = rans.encode_interleaved(
-                csym, idx, g.quantized_cdf, g.cdf_length, g.offset, K)
-            return stream, states, (pos, sym[pos])
+            return csym, idx, (pos, sym[pos])
 
-        triples = list(self._pool.map(encode_slice, range(S)))
+        clamped = list(self._pool.map(clamp_slice, range(S)))
+        if chain:
+            # sequential by construction: slice s starts from slice s+1's
+            # final states (the decoder threads them forward)
+            streams = [None] * S
+            st = None
+            for s in reversed(range(S)):
+                csym, idx, _ = clamped[s]
+                streams[s], st = rans.encode_interleaved(
+                    csym, idx, g.quantized_cdf, g.cdf_length, g.offset, K,
+                    init_states=st)
+            states = st
+        else:
+            def encode_slice(s: int):
+                csym, idx, _ = clamped[s]
+                return rans.encode_interleaved(
+                    csym, idx, g.quantized_cdf, g.cdf_length, g.offset, K)
+
+            pairs = list(self._pool.map(encode_slice, range(S)))
+            streams = [p[0] for p in pairs]
+            states = np.stack([p[1] for p in pairs])
         return {
-            "istreams": [p[0] for p in triples],
-            "states": np.stack([p[1] for p in triples]),
-            "patches": [p[2] for p in triples],
+            "istreams": streams,
+            "states": np.asarray(states),
+            "patches": [c[2] for c in clamped],
+            "chained": chain,
             "z_strings": z_strings,
             "shape": (z_sym.shape[1], z_sym.shape[2]),
             "lanes": K,
@@ -909,6 +943,9 @@ class DCAECodec:
         lsym, lsf = self._slot_luts(paired=paired)
         unroll = int(enc.get("unroll")
                      or os.environ.get("DCAE_IL_UNROLL", "2"))
+        # chained layout is self-describing: a 1-D state vector IS the
+        # chain header (the enc-dict flag wins when present)
+        chained = bool(enc.get("chained", states.ndim == 1))
         B = z_hat.shape[0]
         true0 = jnp.zeros((B, zh * r, zw * r,
                            self.cfg.slice_dim * self.cfg.num_slices),
@@ -917,7 +954,7 @@ class DCAECodec:
             self.params, jnp.asarray(z_hat), jnp.asarray(words),
             jnp.asarray(n_words), jnp.asarray(states), jnp.asarray(ppos),
             jnp.asarray(pval), np.bool_(False), true0, lsym, lsf,
-            self._st(), unroll, paired)
+            self._st(), unroll, paired, chained)
         return {"x_hat": self._synthesis(self.params, y_hat), "ok": ok}
 
     def compress_latent(self, x) -> np.ndarray:

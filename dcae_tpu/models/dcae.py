@@ -399,7 +399,7 @@ class DCAE(nn.Module):
                               enc_sf: jax.Array, enc_offsets: jax.Array,
                               enc_maxpos: jax.Array, stride: int,
                               lanes: int, unroll: int = 1,
-                              patch_cap: int = 128):
+                              patch_cap: int = 128, chain: bool = False):
         """Whole ENCODE in one device program, entropy coding included:
         analysis + channel-AR symbol/index computation (encode_arrays) and
         K-lane interleaved rANS encoding of every slice
@@ -432,7 +432,7 @@ class DCAE(nn.Module):
         y_idx = out["y_indexes"].astype(jnp.int32)
         res = encode_slices_with_patches(
             y_sym, y_idx, enc_sf, enc_offsets, enc_maxpos, stride,
-            lanes, unroll, patch_cap)
+            lanes, unroll, patch_cap, chain=chain)
         res["y_symbols"] = y_sym
         medians = self.eb_medians().reshape(1, 1, 1, -1)
         res["z_hat"] = out["z_symbols"].astype(jnp.float32) + medians
@@ -445,7 +445,7 @@ class DCAE(nn.Module):
                               override: jax.Array, true_y: jax.Array,
                               lut_sym: jax.Array, lut_sf: jax.Array,
                               scale_table: jax.Array, unroll: int = 1,
-                              paired: bool = False):
+                              paired: bool = False, chained: bool = False):
         """Slice contexts + ON-DEVICE entropy decode of the K-lane
         interleaved rANS streams (entropy/device_decode.py) in one device
         program: the channel-AR chain needs no host round trips at all —
@@ -479,6 +479,13 @@ class DCAE(nn.Module):
         symbols under exactly those indexes. Decoders pass override=False
         and zeros for true_y.
 
+        chained=True (round-5 default stream format): `states` is ONE
+        (K,) lane-state vector spanning all slices — slice i's decode
+        starts from slice i-1's final states, and the base-state
+        checksum applies once, after the last slice (the 5x smaller
+        header; entropy/device_decode.py encode_slices_with_patches).
+        chained=False keeps the legacy per-slice (S, K) states.
+
         Returns (y_hat, ok, idxs, syms) — ok is the all-slices checksum
         (stream fully consumed + every lane back at 2^16), which catches
         stream corruption and any residual index divergence (e.g. a
@@ -486,7 +493,9 @@ class DCAE(nn.Module):
         (S, B, yh, yw, sd) int8 and syms (same, int32) are the per-slice
         index/symbol chains (consumed by the certified encoder, ignored
         and never fetched by decoders)."""
-        from dcae_tpu.entropy.device_decode import decode_interleaved
+        from dcae_tpu.entropy.device_decode import (RANS_L16,
+                                                    decode_interleaved,
+                                                    decode_interleaved_chain)
 
         latent_scales, latent_means = self.hyper_synthesis(z_hat)
         B = z_hat.shape[0]
@@ -497,6 +506,7 @@ class DCAE(nn.Module):
                              self.cfg.num_slices, axis=-1)
         y_hat = jnp.zeros((B, y_h, y_w, 0), jnp.float32)
         ok = jnp.bool_(True)
+        chain_states = states if chained else None  # (K,) threaded
         idx_list, sym_list = [], []
         for i in range(self.cfg.num_slices):
             prev = ([] if i == 0 else list(jnp.split(y_hat, i, axis=-1)))
@@ -514,12 +524,22 @@ class DCAE(nn.Module):
             # the part cross-program certification exists for — stays
             # outside the branch)
             n_i = indexes.size
-            sym, ok_i = jax.lax.cond(
-                override,
-                lambda: (jnp.zeros((n_i,), jnp.int32), jnp.bool_(True)),
-                lambda: decode_interleaved(
-                    words[i], n_words[i], states[i], indexes.reshape(-1),
-                    lut_sym, lut_sf, K, unroll, paired))
+            if chained:
+                sym, ok_i, chain_states = jax.lax.cond(
+                    override,
+                    lambda st: (jnp.zeros((n_i,), jnp.int32),
+                                jnp.bool_(True), st),
+                    lambda st: decode_interleaved_chain(
+                        words[i], n_words[i], st, indexes.reshape(-1),
+                        lut_sym, lut_sf, K, unroll, paired),
+                    chain_states)
+            else:
+                sym, ok_i = jax.lax.cond(
+                    override,
+                    lambda: (jnp.zeros((n_i,), jnp.int32), jnp.bool_(True)),
+                    lambda: decode_interleaved(
+                        words[i], n_words[i], states[i], indexes.reshape(-1),
+                        lut_sym, lut_sf, K, unroll, paired))
             sym = sym.at[patch_pos[i]].set(patch_val[i], mode="drop")
             sym_enc = jnp.round(y_slices[i] - mu).astype(jnp.int32)
             sym = jnp.where(override, sym_enc.reshape(-1), sym)
@@ -529,6 +549,11 @@ class DCAE(nn.Module):
                 sym.reshape(B, y_h, y_w, sd).astype(jnp.float32))
             y_hat = jnp.concatenate([y_hat, y_hat_slice], axis=-1)
             ok = ok & ok_i
+        if chained:
+            # the end-to-end checksum moves to the end of the chain: every
+            # lane must return to the 2^16 base after the LAST slice
+            ok = ok & (jnp.all(chain_states == jnp.uint32(RANS_L16))
+                       | override)
         return y_hat, ok, jnp.stack(idx_list), jnp.stack(sym_list)
 
     def decode_all(self, z_hat: jax.Array, symbols: jax.Array) -> jax.Array:

@@ -442,13 +442,22 @@ int32_t dcae_pmf_to_quantized_cdf(const float *pmf, int64_t n,
 
 constexpr uint32_t kRansL16 = 1u << 16;
 
+// init_states (nullable): lane states to start encoding from — the
+// CHAINED format (round 5: one K-lane set spanning all slices, encoded in
+// reverse slice order) passes the next slice's final states here; null =
+// the kRansL16 base (per-slice format / the last-encoded slice).
 int64_t dcae_rans_encode_interleaved(
     const int32_t *symbols, const int32_t *indexes, int64_t n,
     const int32_t *cdfs, int64_t cdf_rows, int64_t cdf_stride,
     const int32_t *cdf_lengths, const int32_t *offsets, int32_t K,
-    uint16_t *out_words, int64_t out_capacity_words, uint32_t *states_out) {
+    uint16_t *out_words, int64_t out_capacity_words, uint32_t *states_out,
+    const uint32_t *init_states) {
   if (n < 0 || K < 1) return -2;
   std::vector<uint32_t> x(static_cast<size_t>(K), kRansL16);
+  if (init_states != nullptr) {
+    for (int32_t j = 0; j < K; ++j) x[static_cast<size_t>(j)] =
+        init_states[j];
+  }
   std::vector<uint16_t> emitted;
   emitted.reserve(static_cast<size_t>(n) / 2 + 16);
 
@@ -489,11 +498,17 @@ int64_t dcae_rans_encode_interleaved(
 // Mirrors the vectorized device loop word-for-word. Returns 0, or -2 on
 // bad args, -4 if the stream under/overruns or the end-state checksum
 // (every lane back at kRansL16) fails.
+// check_base: 1 = require every lane back at kRansL16 after the last
+// symbol (whole-stream / last-slice-of-chain decode); 0 = skip (an
+// intermediate slice of the chained format — the caller threads the
+// final states, written to states_out when non-null, into the next
+// slice and checks the base only at the end of the chain).
 int32_t dcae_rans_decode_interleaved(
     const uint16_t *words, int64_t n_words, const uint32_t *states,
     const int32_t *indexes, int64_t n, const int32_t *cdfs, int64_t cdf_rows,
     int64_t cdf_stride, const int32_t *cdf_lengths, const int32_t *offsets,
-    int32_t K, int32_t *out_symbols) {
+    int32_t K, int32_t *out_symbols, uint32_t *states_out,
+    int32_t check_base) {
   if (n < 0 || K < 1) return -2;
   std::vector<uint32_t> x(states, states + K);
   int64_t ptr = 0;
@@ -514,8 +529,14 @@ int32_t dcae_rans_decode_interleaved(
     out_symbols[i] = value + offsets[idx];
   }
   if (ptr != n_words) return -4;
-  for (int32_t j = 0; j < K; ++j) {
-    if (x[static_cast<size_t>(j)] != kRansL16) return -4;
+  if (states_out != nullptr) {
+    for (int32_t j = 0; j < K; ++j) states_out[j] =
+        x[static_cast<size_t>(j)];
+  }
+  if (check_base) {
+    for (int32_t j = 0; j < K; ++j) {
+      if (x[static_cast<size_t>(j)] != kRansL16) return -4;
+    }
   }
   return 0;
 }

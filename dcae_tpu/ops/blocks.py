@@ -250,10 +250,36 @@ class ResScaleConvolutionGateBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         dim = x.shape[-1]
-        h = LayerNorm(dtype=self.dtype, name="ln1")(x)
-        h = WMSA(self.head_dim, self.window_size, self.shifted,
-                 dtype=self.dtype, pallas=self.pallas, name="msa")(h)
-        x = Scale(dim, name="res_scale_1")(x) + h
+        # v4 fused attention HALF-BLOCK (LN1 + windowing + WMSA + proj +
+        # res-scale residual in ONE kernel, ops/pallas/wmsa_v4.py): removes
+        # the LN materialization, the window transpose on both sides, and
+        # the residual pass that v3 left as HBM round trips around the
+        # opaque pallas_call. Param tree unchanged (modules declared below
+        # for init; variables read at apply). DCAE_PALLAS_V4=0 falls back
+        # to v3 (LN in XLA + fused attention).
+        env = os.environ.get("DCAE_PALLAS")
+        pallas_on = self.pallas if env is None else env == "1"
+        use_v4 = (pallas_on and self.window_size == 8
+                  and not self.is_initializing()
+                  and os.environ.get("DCAE_PALLAS_V4", "1") == "1")
+        if use_v4:
+            from dcae_tpu.ops.pallas.wmsa_v4 import wmsa_block_v4_trainable
+
+            p = self.variables["params"]
+            lnp = p["ln1"]["ln"]
+            msa = p["msa"]
+            heads = dim // self.head_dim
+            x = wmsa_block_v4_trainable(
+                x, lnp["scale"], lnp["bias"], p["res_scale_1"]["scale"],
+                msa["qkv_kernel"], msa["qkv_bias"], msa["proj_kernel"],
+                msa["proj_bias"], msa["relative_position"],
+                window=self.window_size, heads=heads, shifted=self.shifted,
+                interpret=pallas_interpret()).astype(x.dtype)
+        else:
+            h = LayerNorm(dtype=self.dtype, name="ln1")(x)
+            h = WMSA(self.head_dim, self.window_size, self.shifted,
+                     dtype=self.dtype, pallas=self.pallas, name="msa")(h)
+            x = Scale(dim, name="res_scale_1")(x) + h
 
         # fused LN2+GLU Pallas kernel (VMEM-resident fc1/dwconv/gate/fc2 —
         # the GLU's 2h-wide intermediates are the largest non-attention HBM

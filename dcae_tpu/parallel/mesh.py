@@ -13,6 +13,18 @@ a jax.sharding.Mesh + jit. Axes:
 Parameters are replicated; only activations are sharded. The codec model is
 ~120M params — well within a single chip's HBM — so DP(+SP) is the sweet
 spot; the mesh machinery below nevertheless generalizes to more axes.
+
+Scope decision (round 5): the sp axis covers the TRANSFORM/TRAINING path
+(forward, likelihood eval, train steps — where the FLOPs and the HBM
+traffic are). Entropy CODING stays dp-only: a rANS stream is a sequential
+state chain, and the channel-AR sigma->index chain must be reproduced
+bit-exactly by the decoder — both are single-device-program properties.
+Sharding one stream spatially would require a per-shard stream format and
+bit-stable cross-shard context nets for no transform-side win at image
+sizes. Under a dp x sp serving mesh the real codec therefore runs as a
+per-device pool (DCAECodec(device=...) round robin over mesh.devices)
+with byte-identical streams on every member — proven by
+tests/test_serving_multichip.py::test_real_codec_on_dp_sp_mesh.
 """
 
 from __future__ import annotations

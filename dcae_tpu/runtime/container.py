@@ -105,18 +105,29 @@ def read_bin(path: str, p: int = 128, z_downsample: int = 64):
 # bypass-codes these instead (ref CompressAI RansEncoder bypass).
 
 _MAGIC_V2 = b"DTI1"
+# DTI2 (round 5): the CHAINED layout — ONE K-lane state set spans all
+# slices (encoded in reverse slice order, decoded forward with threaded
+# states), so the lane-state header is written ONCE after the bucket
+# field instead of per slice (5x smaller; the interleaved profile's rate
+# tax drops to ~2-3% at trained rates — VERDICT r4 item 2). Everything
+# else (bucket/unroll/paired field, per-slice streams + patches, z)
+# matches DTI1.
+_MAGIC_V2_CHAIN = b"DTI2"
 
 
 def pack_bin_interleaved(enc: dict, size: Tuple[int, int]) -> bytes:
-    """enc: compress_interleaved output (batch 1); size = (h, w) unpadded."""
+    """enc: compress_interleaved output (batch 1); size = (h, w) unpadded.
+    Chained enc dicts (states (K,), enc["chained"]) pack as DTI2; legacy
+    per-slice state dicts pack as DTI1."""
     import numpy as np
 
     states = np.asarray(enc["states"], dtype="<u4")
     lanes = int(enc["lanes"])
     streams = enc["istreams"]
+    chained = bool(enc.get("chained", states.ndim == 1))
     patches = enc.get("patches") or [
         (np.empty(0, np.int32),) * 2 for _ in streams]
-    out = _MAGIC_V2
+    out = _MAGIC_V2_CHAIN if chained else _MAGIC_V2
     out += struct.pack(">HHHB", size[0], size[1], lanes, len(streams))
     bucket = int(enc.get("bucket") or 0)
     unroll = int(enc.get("unroll") or 0)
@@ -127,10 +138,13 @@ def pack_bin_interleaved(enc: dict, size: Tuple[int, int]) -> bytes:
         raise ValueError(f"bucket/unroll out of field range: "
                          f"{bucket}/{unroll}")
     out += struct.pack(">I", bucket | (unroll << 24) | (paired << 31))
+    if chained:
+        out += states.reshape(-1).tobytes()  # once, for the whole chain
     for s, stream in enumerate(streams):
         out += struct.pack(">I", len(stream))
         out += stream
-        out += states[s].tobytes()
+        if not chained:
+            out += states[s].tobytes()
         pos, val = patches[s]
         out += struct.pack(">H", len(pos))
         out += np.asarray(pos, "<u4").tobytes()
@@ -146,8 +160,9 @@ def unpack_bin_interleaved(data: bytes, p: int = 128,
     """-> (enc dict for decompress_interleaved, padding, (h, w))."""
     import numpy as np
 
-    if data[:4] != _MAGIC_V2:
-        raise ValueError("not a DTI1 interleaved container")
+    if data[:4] not in (_MAGIC_V2, _MAGIC_V2_CHAIN):
+        raise ValueError("not a DTI1/DTI2 interleaved container")
+    chained = data[:4] == _MAGIC_V2_CHAIN
     h, w, lanes, n_slices = struct.unpack(">HHHB", data[4:11])
     (bucket_field,) = struct.unpack(">I", data[11:15])
     bucket = bucket_field & 0xFFFFFF
@@ -155,10 +170,14 @@ def unpack_bin_interleaved(data: bytes, p: int = 128,
     paired = bool(bucket_field >> 31)
     if unroll not in (0, 1, 2, 4, 8, 16, 32, 64):
         raise ValueError(
-            f"DTI1 unroll field {unroll} was never produced by any writer "
+            f"DTI unroll field {unroll} was never produced by any writer "
             "(certified unrolls are small powers of two); the blob is "
             "corrupt or from an incompatible format revision")
     off = 15
+    chain_states = None
+    if chained:
+        chain_states = np.frombuffer(data[off: off + 4 * lanes], "<u4")
+        off += 4 * lanes
     streams: List[bytes] = []
     states = []
     patches = []
@@ -167,8 +186,9 @@ def unpack_bin_interleaved(data: bytes, p: int = 128,
         off += 4
         streams.append(data[off: off + slen])
         off += slen
-        states.append(np.frombuffer(data[off: off + 4 * lanes], "<u4"))
-        off += 4 * lanes
+        if not chained:
+            states.append(np.frombuffer(data[off: off + 4 * lanes], "<u4"))
+            off += 4 * lanes
         (n_patch,) = struct.unpack(">H", data[off: off + 2])
         off += 2
         pos = np.frombuffer(data[off: off + 4 * n_patch], "<u4"
@@ -183,15 +203,16 @@ def unpack_bin_interleaved(data: bytes, p: int = 128,
     z_string = data[off: off + zlen]
     padded, padding = calculate_padding(h, w, p)
     z_shape = (padded[0] // z_downsample, padded[1] // z_downsample)
-    enc = {"istreams": streams, "states": np.stack(states),
+    enc = {"istreams": streams,
+           "states": (chain_states if chained else np.stack(states)),
            "patches": patches, "z_strings": [z_string], "shape": z_shape,
            "lanes": lanes, "bucket": bucket, "unroll": unroll,
-           "paired": paired}
+           "paired": paired, "chained": chained}
     return enc, padding, (h, w)
 
 
 def is_interleaved_bin(data: bytes) -> bool:
-    return data[:4] == _MAGIC_V2
+    return data[:4] in (_MAGIC_V2, _MAGIC_V2_CHAIN)
 
 
 # ---------------------------------------------------------------------------

@@ -101,16 +101,21 @@ def test_block_pallas_path_matches_module_path(monkeypatch):
     including the scan-free init/apply split."""
     import dcae_tpu.ops.pallas.conv_glu as cg
     import dcae_tpu.ops.pallas.wmsa_v3 as wv
+    import dcae_tpu.ops.pallas.wmsa_v4 as wv4
     from dcae_tpu.ops.blocks import ResScaleConvolutionGateBlock
 
     orig_cg = cg.conv_glu_trainable
     orig_wv = wv.wmsa_v3_trainable
+    orig_wv4 = wv4.wmsa_block_v4_trainable
     monkeypatch.setattr(
         cg, "conv_glu_trainable",
         lambda *a, **k: orig_cg(*a, **{**k, "interpret": True}))
     monkeypatch.setattr(
         wv, "wmsa_v3_trainable",
         lambda *a, **k: orig_wv(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(
+        wv4, "wmsa_block_v4_trainable",
+        lambda *a, **k: orig_wv4(*a, **{**k, "interpret": True}))
     monkeypatch.delenv("DCAE_PALLAS", raising=False)
 
     C, H, W = 128, 16, 16  # C % 128 == 0 so supported() lets pallas run

@@ -458,3 +458,97 @@ def test_paired_flag_rides_dti1_container():
     got, _, _ = container.unpack_bin_interleaved(
         container.pack_bin_interleaved(enc, (100, 160)))
     assert got["paired"] is False and got["unroll"] == 2
+
+
+class TestChainedLaneSet:
+    """Round-5 chained format: ONE K-lane state set spans all slices
+    (header 5x smaller — VERDICT r4 item 2). Pins the format four ways:
+    C++ chained encode <-> C++ chained decode, device chained decode of
+    the C++ streams, device chained ENCODE bit-identity with C++, and
+    the end-of-chain base-state checksum."""
+
+    @pytest.mark.parametrize("S,n,K", [(3, 4096, 64), (5, 2048, 16),
+                                       (2, 1000, 128)])
+    def test_chain_bit_identity(self, tables, S, n, K):
+        from dcae_tpu.entropy.device_decode import (
+            RANS_L16, build_enc_tables, decode_interleaved_chain,
+            encode_slices_with_patches)
+
+        cdfs, lengths, offsets = tables
+        sym = np.stack([_draw(tables, n, seed=1000 + s * 7)[0]
+                        for s in range(S)])
+        idx = np.stack([_draw(tables, n, seed=1000 + s * 7)[1]
+                        for s in range(S)])
+
+        # C++ chained encode (reverse slice order, threaded states)
+        streams, st = [None] * S, None
+        for s in reversed(range(S)):
+            streams[s], st = rans.encode_interleaved(
+                sym[s], idx[s], cdfs, lengths, offsets, K, init_states=st)
+        header = st.copy()
+
+        # C++ chained decode threads the final states forward
+        cur = header
+        for s in range(S):
+            out, cur = rans.decode_interleaved_ref(
+                streams[s], cur, idx[s], cdfs, lengths, offsets, K,
+                return_states=True)
+            np.testing.assert_array_equal(out, sym[s])
+        assert np.all(cur == RANS_L16)
+
+        # device chained decode of the same streams
+        lsym, lsf = build_slot_tables(cdfs, lengths, offsets, paired=True)
+        cur = jnp.asarray(header)
+        for s in range(S):
+            w = np.frombuffer(streams[s], np.uint16)
+            syms_d, ok, cur = decode_interleaved_chain(
+                jnp.asarray(w), jnp.int32(len(w)), cur,
+                jnp.asarray(idx[s]), jnp.asarray(lsym), jnp.asarray(lsf),
+                K, 2, True)
+            assert bool(ok)
+            np.testing.assert_array_equal(np.asarray(syms_d), sym[s])
+        assert np.all(np.asarray(cur) == RANS_L16)
+
+        # device chained ENCODE is bit-identical to the C++ encoder
+        enc_sf, offs_i, maxpos, stride = build_enc_tables(cdfs, lengths,
+                                                          offsets)
+        res = encode_slices_with_patches(
+            jnp.asarray(sym), jnp.asarray(idx), jnp.asarray(enc_sf),
+            jnp.asarray(offs_i), jnp.asarray(maxpos), stride, K, 2, 16,
+            chain=True)
+        assert not bool(res["escape"])
+        np.testing.assert_array_equal(np.asarray(res["states"]), header)
+        for s in range(S):
+            nw = int(np.asarray(res["n_words"])[s])
+            assert (np.asarray(res["words"])[s][:nw][::-1].tobytes()
+                    == streams[s])
+
+    def test_corruption_detected_at_chain_end(self, tables):
+        from dcae_tpu.entropy.device_decode import (
+            RANS_L16, build_slot_tables, decode_interleaved_chain)
+
+        cdfs, lengths, offsets = tables
+        S, n, K = 3, 2048, 32
+        sym = np.stack([_draw(tables, n, seed=50 + s)[0] for s in range(S)])
+        idx = np.stack([_draw(tables, n, seed=50 + s)[1] for s in range(S)])
+        streams, st = [None] * S, None
+        for s in reversed(range(S)):
+            streams[s], st = rans.encode_interleaved(
+                sym[s], idx[s], cdfs, lengths, offsets, K, init_states=st)
+        # flip a byte in the middle slice's stream
+        bad = bytearray(streams[1])
+        bad[len(bad) // 2] ^= 0xFF
+        streams[1] = bytes(bad)
+        lsym, lsf = build_slot_tables(cdfs, lengths, offsets, paired=True)
+        cur = jnp.asarray(st)
+        ok_all = True
+        for s in range(S):
+            w = np.frombuffer(streams[s], np.uint16)
+            _, ok, cur = decode_interleaved_chain(
+                jnp.asarray(w), jnp.int32(len(w)), cur,
+                jnp.asarray(idx[s]), jnp.asarray(lsym), jnp.asarray(lsf),
+                K, 2, True)
+            ok_all = ok_all and bool(ok)
+        # either a stream under/overrun fired, or the end-of-chain base
+        # check must catch the corruption
+        assert not (ok_all and np.all(np.asarray(cur) == RANS_L16))

@@ -118,3 +118,39 @@ def test_interleaved_container_roundtrip():
         raise AssertionError("expected ValueError for oversized bucket")
     except ValueError:
         pass
+
+
+def test_chained_container_dti2_roundtrip():
+    """DTI2 (round 5): chained layout stores the lane-state header ONCE
+    for the whole slice chain; DTI1 (per-slice states) stays readable."""
+    import numpy as np
+    from dcae_tpu.runtime import container
+
+    rng = np.random.default_rng(1)
+    streams = [rng.bytes(2 * int(n)) for n in rng.integers(5, 60, 5)]
+    states = rng.integers(1 << 16, 1 << 32, (64,), dtype=np.uint64
+                          ).astype(np.uint32)
+    patches = [(np.empty(0, np.int32), np.empty(0, np.int32))] * 5
+    enc = {"istreams": streams, "states": states, "lanes": 64,
+           "patches": patches, "bucket": 2048, "unroll": 2,
+           "paired": True, "chained": True,
+           "z_strings": [rng.bytes(21)], "shape": (2, 3)}
+    data = container.pack_bin_interleaved(enc, (80, 100))
+    assert data[:4] == b"DTI2"
+    assert container.is_interleaved_bin(data)
+    # DTI2 header cost = 4*lanes bytes TOTAL (not per slice)
+    data_unchained = container.pack_bin_interleaved(
+        {**enc, "chained": False,
+         "states": np.tile(states, (5, 1))}, (80, 100))
+    assert len(data_unchained) - len(data) == 4 * 64 * 4
+    dec, _, (h, w) = container.unpack_bin_interleaved(data)
+    assert (h, w) == (80, 100)
+    assert dec["chained"] is True
+    assert dec["states"].shape == (64,)
+    np.testing.assert_array_equal(dec["states"], states)
+    assert dec["istreams"] == streams
+    assert dec["bucket"] == 2048 and dec["unroll"] == 2 and dec["paired"]
+    # legacy DTI1 blobs still parse (chained=False, (S, K) states)
+    dec1, _, _ = container.unpack_bin_interleaved(data_unchained)
+    assert dec1["chained"] is False
+    assert dec1["states"].shape == (5, 64)
