@@ -116,9 +116,11 @@ def decode_interleaved(words: jax.Array, n_words: jax.Array,
     import os
     select2 = os.environ.get("DCAE_IL_SELECT2", "0") == "1"
     window = os.environ.get("DCAE_IL_WINDOW", "1") == "1"
+    scan = os.environ.get("DCAE_IL_SCAN", "0") == "1"
     syms, ok, _ = _decode_interleaved(words, n_words, states, indexes,
                                       lut_sym, lut_df, lanes, unroll,
-                                      paired, select2, window)
+                                      paired, select2, window,
+                                      scan=scan)
     return syms, ok
 
 
@@ -139,19 +141,21 @@ def decode_interleaved_chain(words: jax.Array, n_words: jax.Array,
     import os
     select2 = os.environ.get("DCAE_IL_SELECT2", "0") == "1"
     window = os.environ.get("DCAE_IL_WINDOW", "1") == "1"
+    scan = os.environ.get("DCAE_IL_SCAN", "0") == "1"
     return _decode_interleaved(words, n_words, states, indexes, lut_sym,
                                lut_df, lanes, unroll, paired, select2,
-                               window, check_base=False)
+                               window, check_base=False, scan=scan)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "lanes", "unroll", "paired", "select2", "window", "check_base"))
+    "lanes", "unroll", "paired", "select2", "window", "check_base",
+    "scan"))
 def _decode_interleaved(words: jax.Array, n_words: jax.Array,
                         states: jax.Array, indexes: jax.Array,
                         lut_sym: jax.Array, lut_df: jax.Array,
                         lanes: int, unroll: int = 1, paired: bool = False,
                         select2: bool = False, window: bool = True,
-                        check_base: bool = True
+                        check_base: bool = True, scan: bool = False
                         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Decode `indexes.shape[0]` symbols from the interleaved stream.
 
@@ -286,9 +290,53 @@ def _decode_interleaved(words: jax.Array, n_words: jax.Array,
         return x, ptr, out
 
     x0 = states.astype(jnp.uint32)
-    out0 = jnp.zeros((Tp, K), jnp.int32)
-    x, ptr, out = jax.lax.fori_loop(0, Tp // U, body,
-                                    (x0, jnp.int32(0), out0))
+    if scan:
+        # lax.scan variant (experiment, round 5): the recorded rows ride
+        # scan's stacked ys instead of a (Tp, K) carry buffer mutated
+        # with dynamic_update per iteration, and idx/active rows arrive
+        # as sliced xs. Bit-identical math; A/B'd against the fori_loop
+        # via xprof (docs/PERF.md round-5).
+        def step_scan(x, ptr, idx_t, active):
+            slot = x & u16mask
+            flat = idx_t * SLOTS + slot.astype(jnp.int32)
+            if paired:
+                pair = lut_df[flat]
+                df = pair[:, 0]
+                rec = pair[:, 1].astype(jnp.int32)
+            else:
+                df = lut_df[flat]
+                rec = slot.astype(jnp.int32)
+            delta = df & u16mask
+            freq = (df >> jnp.uint32(16)) + jnp.uint32(1)
+            x2 = freq * (x >> jnp.uint32(16)) + delta
+            need = (x2 < jnp.uint32(RANS_L16)) & active
+            need_i = need.astype(jnp.int32)
+            cum = jnp.cumsum(need_i)
+            local = cum - need_i
+            window = jax.lax.dynamic_slice(words_u32, (ptr,), (K,))
+            w = _select_words(window, local, cum[-1])
+            x2 = jnp.where(need, (x2 << jnp.uint32(16)) | w, x2)
+            x = jnp.where(active, x2, x)
+            return x, ptr + cum[-1], jnp.where(active, rec, 0)
+
+        def scan_body(carry, xs):
+            x, ptr = carry
+            idx_u, act_u = xs          # (U, K) each
+            recs = []
+            for s in range(U):
+                x, ptr, rec = step_scan(x, ptr, idx_u[s], act_u[s])
+                recs.append(rec)
+            return (x, ptr), jnp.stack(recs)
+
+        (x, ptr), out = jax.lax.scan(
+            scan_body, (x0, jnp.int32(0)),
+            (idx.reshape(Tp // U, U, K), active_rows.reshape(Tp // U, U,
+                                                            K)))
+        out = out.reshape(Tp, K)
+    else:
+        out0 = jnp.zeros((Tp, K), jnp.int32)
+        x, ptr, out = jax.lax.fori_loop(0, Tp // U, body,
+                                        (x0, jnp.int32(0), out0))
     ok = ptr == n_words.astype(jnp.int32)
     if check_base:
         ok = ok & jnp.all(x == jnp.uint32(RANS_L16))
