@@ -343,11 +343,11 @@ def main():
     # SAME budget loop, alternating with the classic one — a same-window
     # A/B, the only comparison the time-shared chip admits.
     env_il = os.environ.get("DCAE_BENCH_DECODE_INTERLEAVE", "auto")
-    # interleaved serving: dispatch batch i+3's device programs before
-    # batch i's host sync (2026-08-19 evening, back-to-back windows after
-    # the entropy-loop de-gathering: depth 3 -> 15.56 img/s vs depth 2 ->
-    # 14.15; earlier same-day depth-2-vs-1 A/B also favored deeper)
-    os.environ.setdefault("DCAE_IL_DISPATCH_AHEAD", "3")
+    # interleaved serving: dispatch batch i+4's device programs before
+    # batch i's host sync. Same-window round-robin sweep (round 5, 3
+    # rounds each): depth 4 -> 19.3 img/s vs 3 -> 17.8 vs 5 -> 18.7;
+    # r3's depth-3-beats-2 result still holds directionally.
+    os.environ.setdefault("DCAE_IL_DISPATCH_AHEAD", "4")
     stream = [images] * PIPE_BATCHES
     n_images = batch * PIPE_BATCHES
     pipe_times = []
